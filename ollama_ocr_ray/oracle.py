@@ -1,0 +1,195 @@
+"""Sequential single-process reference extractor (the test oracle).
+
+Mirrors the reference's per-document control flow — route by kind →
+per-span extraction → ordered reassembly with strip and inline error
+spans (``/root/reference/ocr_router.py:250-310``) — written
+*independently* of the Ray stages in ``ollama_ocr_ray.stages`` so the
+span-equality tests are a real check (SURVEY.md §5.2).  Only the pure
+contract constants/functions in ``ollama_ocr_ray.spec`` are shared.
+
+HTML here is extracted by building an explicit DOM tree and recursively
+walking it; the Ray stage uses a single-pass event/stack algorithm.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .spec import (
+    BLOCK_TAGS,
+    CORRUPT_SUFFIX,
+    ERROR_TEXT,
+    HEADING_TAGS,
+    MAX_LINK_DENSITY,
+    MIN_BLOCK_CHARS,
+    PRUNE_TAGS,
+    VOID_TAGS,
+    collapse_ws,
+    mock_transcript,
+    unsupported_text,
+)
+
+
+# --- HTML: DOM tree build + recursive walk ---------------------------------
+class _Node:
+    __slots__ = ("tag", "children")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.children: list = []  # _Node or str (text)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            self.stack[-1].children.append(_Node(tag))
+            return
+        node = _Node(tag)
+        self.stack[-1].children.append(node)
+        self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag))
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched close tag: ignored (same policy as the stage parser)
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _has_block_descendant(node: _Node) -> bool:
+    for c in node.children:
+        if isinstance(c, _Node) and c.tag not in PRUNE_TAGS:
+            # pruned subtrees are removed before candidate selection
+            if c.tag in BLOCK_TAGS or _has_block_descendant(c):
+                return True
+    return False
+
+
+def _gather_text(node: _Node, parts: list, links: list, in_a: bool) -> None:
+    for c in node.children:
+        if isinstance(c, str):
+            parts.append(c)
+            if in_a:
+                links.append(c)
+        else:
+            if c.tag in PRUNE_TAGS:
+                continue
+            _gather_text(c, parts, links, in_a or c.tag == "a")
+
+
+def _leaf_blocks(node: _Node, out: list) -> None:
+    """Collect leaf BLOCK_TAGS elements in document order, skipping
+    pruned subtrees."""
+    for c in node.children:
+        if not isinstance(c, _Node):
+            continue
+        if c.tag in PRUNE_TAGS:
+            continue
+        if c.tag in BLOCK_TAGS and not _has_block_descendant(c):
+            out.append(c)
+        else:
+            _leaf_blocks(c, out)
+
+
+def extract_html(markup: str) -> list[str]:
+    """§spec html semantics: prune → leaf blocks → density filters."""
+    builder = _TreeBuilder()
+    builder.feed(markup)
+    builder.close()
+    blocks: list[_Node] = []
+    _leaf_blocks(builder.root, blocks)
+    kept: list[str] = []
+    for b in blocks:
+        parts: list = []
+        links: list = []
+        _gather_text(b, parts, links, in_a=False)
+        text = collapse_ws(" ".join(parts))
+        link_text = collapse_ws(" ".join(links))
+        if not text:
+            continue
+        if len(link_text) / len(text) > MAX_LINK_DENSITY:
+            continue
+        if len(text) >= MIN_BLOCK_CHARS or (b.tag in HEADING_TAGS and len(text) > 0):
+            kept.append(text)
+    return kept
+
+
+# --- PDF layout text -------------------------------------------------------
+def extract_pdf(payload: str) -> list[str]:
+    """§spec pdf semantics: parse ``page|y|x|text`` records, stable-sort
+    blocks by (page, y, x), per-page join by newline, pages ascending."""
+    records = []
+    for line in payload.split("\n"):
+        pieces = line.split("|", 3)
+        if len(pieces) != 4:
+            continue
+        try:
+            page, y, x = int(pieces[0]), int(pieces[1]), int(pieces[2])
+        except ValueError:
+            continue
+        records.append((page, y, x, pieces[3]))
+    records.sort(key=lambda r: (r[0], r[1], r[2]))  # stable: payload order breaks ties
+    pages: dict[int, list[str]] = {}
+    for page, _y, _x, text in records:
+        t = collapse_ws(text)
+        if t:
+            pages.setdefault(page, []).append(t)
+    return ["\n".join(blocks) for _page, blocks in sorted(pages.items())]
+
+
+# --- per-document extraction ----------------------------------------------
+def extract_document(doc: dict) -> dict:
+    """documents row → extracted row (the span-equality contract)."""
+    out = []
+    for span in sorted(doc["spans"], key=lambda s: s["offset"]):
+        kind = span["kind"]
+        if kind == "text":
+            t = span["text"].strip()
+            if t:
+                out.append(("text", t, ""))
+        elif kind == "html":
+            for t in extract_html(span["text"]):
+                out.append(("text", t, ""))
+        elif kind == "pdf":
+            for t in extract_pdf(span["text"]):
+                out.append(("text", t, ""))
+        elif kind == "media":
+            ref = span["media_ref"]
+            if ref.endswith(CORRUPT_SUFFIX):
+                out.append(("error", ERROR_TEXT, ref))
+            else:
+                out.append(("ocr", mock_transcript(ref), ref))
+        else:
+            out.append(("error", unsupported_text(kind), span["media_ref"]))
+    return {
+        "doc_id": doc["doc_id"],
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "order": i}
+            for i, (k, t, m) in enumerate(out)
+        ],
+    }
+
+
+def extract_corpus(table) -> dict[str, list[tuple]]:
+    """pa.Table (documents) → {doc_id: [(kind, text, media_ref, order)]}"""
+    result = {}
+    for doc in table.to_pylist():
+        row = extract_document(doc)
+        result[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
+        ]
+    return result

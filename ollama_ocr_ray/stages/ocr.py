@@ -1,0 +1,100 @@
+"""OCR of media spans — the canonical stateful actor-pool stage.
+
+Engine analog of ``TrOCREngine`` (``/root/reference/ocr_router.py:31-46``):
+the reference constructs the model once for a whole batch run
+(``ocr_router.py:388-389``) and threads it through every call; here the
+model loads once per actor in ``__init__`` and ``__call__`` transcribes a
+whole Arrow batch — wired as
+``map_batches(OcrModel, concurrency=(min,max), batch_size=B,
+batch_format='pyarrow')``.
+
+The sandbox has no vision model, so the "model" is the deterministic
+transcription contract of ``spec.mock_transcript`` plus a configurable
+CPU burn per media span that stands in for inference cost (keeps the
+bench compute-bound, mirroring the determinism knobs of
+``ollama_local_ocr.py:143-144``).  Corrupt media become inline error
+spans and processing continues — the per-page error semantics of
+``ocr_router.py:296-298``.
+
+Adds an ``ocr_ms`` column (per-row amortized batch OCR latency) consumed
+by the lineage/metrics sink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript
+
+
+class OcrModel:
+    """Callable-class stage: __init__ once per actor, __call__ per batch."""
+
+    def __init__(self, burn_iters: int = 0, stamp_batches: bool = False):
+        # "load the model": in the real engine this is where weights land
+        # on the device; here we pre-touch the transcription vocab and
+        # keep the burn knob.
+        self.burn_iters = int(burn_iters)
+        self.stamp_batches = stamp_batches  # test hook: tag rows with call id
+        self._calls = 0
+        self._warm = mock_transcript("media://warmup/0")
+
+    def _burn(self, ref: str) -> None:
+        # deterministic stand-in for per-span inference cost
+        h = ref.encode()
+        for _ in range(self.burn_iters):
+            h = hashlib.sha256(h).digest()
+
+    def _stamp(self, t: pa.Table) -> pa.Table:
+        if not self.stamp_batches:
+            return t
+        self._calls += 1
+        import os
+
+        tag = f"{os.getpid()}:{id(self)}:{self._calls}"
+        return t.append_column("ocr_batch", pa.array([tag] * len(t)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        kind = np.asarray(batch.column("kind"))
+        is_media = kind == "media"
+        n = len(batch)
+        if not is_media.any():
+            return self._stamp(
+                batch.append_column("ocr_ms", pa.array(np.zeros(n), type=pa.float64()))
+            )
+        t0 = time.perf_counter()
+        refs = batch.column("media_ref").to_pylist()
+        texts = batch.column("text").to_pylist()
+        kinds = kind.tolist()
+        media_idx = np.nonzero(is_media)[0]
+        for i in media_idx:
+            ref = refs[i]
+            if ref.endswith(CORRUPT_SUFFIX):
+                kinds[i] = "error"
+                texts[i] = ERROR_TEXT
+            else:
+                self._burn(ref)
+                kinds[i] = "ocr"
+                texts[i] = mock_transcript(ref)
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        per_row = elapsed_ms / len(media_idx)
+        ocr_ms = np.zeros(n)
+        ocr_ms[media_idx] = per_row
+        return self._stamp(
+            pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "offset": batch.column("offset"),
+                    "sub": batch.column("sub"),
+                    "kind": pa.array(kinds, type=pa.string()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "media_ref": batch.column("media_ref"),
+                    "ocr_ms": pa.array(ocr_ms, type=pa.float64()),
+                }
+            )
+        )

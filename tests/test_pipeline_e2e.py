@@ -1,0 +1,129 @@
+"""End-to-end span-sequence equality of the Ray pipelines vs the
+sequential oracle (SURVEY.md §5.2.2-4): canonical salted-split plan,
+zero-shuffle fused plan, skew behavior, and structural invariants."""
+
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from ollama_ocr_ray import oracle, synth
+from ollama_ocr_ray.pipelines.extract import (
+    extract_pipeline,
+    fused_pipeline,
+    summary_table,
+)
+from ollama_ocr_ray.stages.explode import explode_batch
+from ollama_ocr_ray.stages.extract import extract_batch
+from ollama_ocr_ray.stages.ocr import OcrModel
+
+N_DOCS = 300
+SEED = 42
+
+
+def _collect(ds):
+    import pyarrow as pa
+
+    tables = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables(tables)
+
+
+def _spans_map(table):
+    out = {}
+    for r in table.to_pylist():
+        out[r["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.gen_table(N_DOCS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def expected(corpus):
+    return oracle.extract_corpus(corpus)
+
+
+def test_canonical_pipeline_matches_oracle(ray_session, corpus, expected):
+    ds = rd.from_arrow(corpus).repartition(8)
+    out = extract_pipeline(ds, ocr_batch_size=64, ocr_concurrency=2)
+    got = _spans_map(_collect(out))
+    assert set(got) == set(expected)
+    for doc_id in expected:
+        assert got[doc_id] == expected[doc_id], doc_id
+
+
+def test_fused_pipeline_matches_oracle(ray_session, corpus, expected):
+    ds = rd.from_arrow(corpus).repartition(8)
+    out = fused_pipeline(ds, batch_size=32, concurrency=2)
+    got = _spans_map(_collect(out))
+    assert got == expected
+
+
+def test_skew_salted_split_spreads_heavy_doc(ray_session, corpus, expected):
+    """A media-heavy doc's spans must be OCR'd across >1 actor batch
+    (the salted split) and still reassemble exactly."""
+    heavy_ids = [
+        r["doc_id"]
+        for r in corpus.to_pylist()
+        if sum(s["kind"] == "media" for s in r["spans"]) >= 200
+    ]
+    assert heavy_ids, "fixture must contain a heavy doc"
+    ds = rd.from_arrow(corpus).repartition(8)
+    spans = (
+        ds.map_batches(explode_batch, batch_format="pyarrow")
+        .map_batches(extract_batch, batch_format="pyarrow")
+        .map_batches(
+            OcrModel,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            fn_constructor_kwargs={"stamp_batches": True},
+        )
+    )
+    t = _collect(spans)
+    for doc_id in heavy_ids:
+        rows = t.filter(
+            pc.and_(
+                pc.equal(t.column("doc_id"), doc_id),
+                pc.equal(t.column("kind"), "ocr"),
+            )
+        )
+        stamps = set(rows.column("ocr_batch").to_pylist())
+        assert len(stamps) > 1, f"{doc_id} OCR'd in a single batch"
+
+
+def test_structural_invariants(ray_session, corpus, expected):
+    """Property-style checks: no doc lost/duplicated; order dense and
+    strictly increasing; media spans preserved 1:1."""
+    ds = rd.from_arrow(corpus)
+    out = _collect(extract_pipeline(ds))
+    ids = out.column("doc_id").to_pylist()
+    assert len(ids) == len(set(ids)) == N_DOCS
+    for r in out.to_pylist():
+        orders = [s["order"] for s in r["spans"]]
+        assert orders == list(range(len(orders)))
+    n_media_in = sum(
+        sum(s["kind"] == "media" for s in r["spans"]) for r in corpus.to_pylist()
+    )
+    n_media_out = sum(
+        sum(s["kind"] in ("ocr", "error") for s in r["spans"])
+        for r in out.to_pylist()
+    )
+    assert n_media_in == n_media_out
+
+
+def test_summary_table(ray_session, corpus, expected):
+    ds = rd.from_arrow(corpus)
+    stats = extract_pipeline(ds, with_stats=True)
+    summ = _collect(summary_table(stats))
+    assert len(summ) == N_DOCS
+    by_id = {r["doc_id"]: r for r in summ.to_pylist()}
+    for doc_id, spans in expected.items():
+        row = by_id[doc_id]
+        assert row["spans"] == len(spans)
+        assert row["chars"] == sum(len(s[1]) for s in spans)
+        assert row["errors"] == sum(1 for s in spans if s[0] == "error")
+        assert row["engine"] == (spans[0][0] if spans else "")
