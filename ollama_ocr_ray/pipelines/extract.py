@@ -75,8 +75,9 @@ class FusedExtractor:
     row, so no reassembly exchange is needed.
     """
 
-    def __init__(self, burn_iters: int = 0):
+    def __init__(self, burn_iters: int = 0, with_stats: bool = False):
         self._ocr = OcrModel(burn_iters=burn_iters)
+        self.with_stats = with_stats
 
     def _extract_doc(self, spans: list[dict]) -> list[dict]:
         out = []
@@ -105,16 +106,27 @@ class FusedExtractor:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
         rows = batch.to_pylist()
-        out = [
-            {"doc_id": r["doc_id"], "spans": self._extract_doc(r["spans"])}
-            for r in rows
-        ]
-        return pa.Table.from_pylist(out, schema=EXTRACTED_SCHEMA)
+        out = []
+        for r in rows:
+            t0 = time.perf_counter()
+            spans = self._extract_doc(r["spans"])
+            row = {"doc_id": r["doc_id"], "spans": spans}
+            if self.with_stats:
+                row["engine"] = spans[0]["kind"] if spans else ""
+                row["chars"] = sum(len(s["text"]) for s in spans)
+                row["n_spans"] = len(spans)
+                row["n_errors"] = sum(1 for s in spans if s["kind"] == "error")
+                row["ocr_ms"] = (time.perf_counter() - t0) * 1e3
+            out.append(row)
+        schema = REASSEMBLED_SCHEMA if self.with_stats else EXTRACTED_SCHEMA
+        return pa.Table.from_pylist(out, schema=schema)
 
 
 def fused_pipeline(docs, *, ocr_burn: int = 0, batch_size: int = 64,
-                   concurrency=(2, 8)):
+                   concurrency=(2, 8), with_stats: bool = False):
     """documents Dataset → extracted Dataset, zero-shuffle plan."""
     return docs.map_batches(
         FusedExtractor,
@@ -123,7 +135,7 @@ def fused_pipeline(docs, *, ocr_burn: int = 0, batch_size: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
-        fn_constructor_kwargs={"burn_iters": ocr_burn},
+        fn_constructor_kwargs={"burn_iters": ocr_burn, "with_stats": with_stats},
     )
 
 

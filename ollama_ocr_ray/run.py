@@ -1,0 +1,69 @@
+"""Job entrypoint: ``python -m ollama_ocr_ray.run`` (also the module a
+real deployment launches via ``ray job submit -- python -m
+ollama_ocr_ray.run ...``).
+
+Replaces the reference's three ad-hoc CLIs (``ocr_router.py:313-339``,
+``ollama_cloud_ocr.py:679-705``, ``ollama_local_ocr.py:327-354``) with
+one resumable, partition-checkpointed pipeline launcher.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Ray-Data-native interleaved-document extraction"
+    )
+    ap.add_argument("--input", required=True, help="documents table dir/file")
+    ap.add_argument("--output", required=True, help="output dir (resumable)")
+    ap.add_argument("--plan", choices=["canonical", "fused"], default="canonical")
+    ap.add_argument("--ocr-burn", type=int, default=0,
+                    help="simulated per-media-span inference cost (hash iters)")
+    ap.add_argument("--ocr-batch-size", type=int, default=512)
+    ap.add_argument("--ocr-concurrency", type=int, default=8)
+    ap.add_argument("--wave", type=int, default=4,
+                    help="partitions executed concurrently")
+    ap.add_argument("--max-partitions", type=int, default=None,
+                    help="bound pending partitions this run (kill/resume testing)")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="ray.init(num_cpus=...) when no session exists")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from .state.runner import run_extract
+
+        summary = run_extract(
+            args.input,
+            args.output,
+            plan=args.plan,
+            ocr_burn=args.ocr_burn,
+            ocr_batch_size=args.ocr_batch_size,
+            ocr_concurrency=(1, args.ocr_concurrency),
+            wave=args.wave,
+            max_partitions=args.max_partitions,
+        )
+        print(json.dumps(summary))
+    finally:
+        if owns_session:
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

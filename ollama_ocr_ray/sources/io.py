@@ -1,0 +1,89 @@
+"""Storage adapter: the input_hint schema is the contract, the container
+is pluggable.
+
+``read_documents`` prefers Lance (``ray.data.read_lance``) when the
+pylance package is importable, else partitioned Parquet with the same
+schema — the sandbox has no Lance, production would.  Deterministic
+document order comes from table order + doc_id keys, not directory
+listing order (replacing the reference's ``sorted(p.iterdir())``,
+``/root/reference/ocr_router.py:93-97``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+from ..schema import validate_documents
+
+
+def _settle_fsspec_http() -> None:
+    """Sandbox workaround: fsspec's http module needs aiohttp (absent
+    here) and fails on *every* import attempt; Ray Data's path resolver
+    retries that import per read/write, and two concurrent resolutions
+    (the runner's partition waves) race into a spurious ImportError
+    escaping Ray's ModuleNotFoundError guard.  Caching a stub module
+    once makes all later imports race-free cache hits; the stub class is
+    only ever used in isinstance checks against local filesystems."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # never instantiated: no http paths locally
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+    except ImportError:
+        pass
+
+
+_settle_fsspec_http()
+
+
+def _has_lance() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def list_input_files(input_path: str) -> list[str]:
+    """Sorted data files of a documents table directory (the partition
+    units for the resumable runner)."""
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet") or f.endswith(".lance")
+    )
+
+
+def read_documents(input_path: str, *, validate: bool = True):
+    """documents table → ray.data.Dataset (schema-validated at ingest,
+    replacing the reference's per-file ``_validate_file`` checks,
+    ``ollama_cloud_ocr.py:96-103``)."""
+    return read_documents_files(list_input_files(input_path), validate=validate)
+
+
+def read_documents_files(files: list[str], *, validate: bool = True):
+    import ray.data as rd
+
+    if _has_lance() and files and files[0].endswith(".lance"):
+        ds = rd.read_lance(files[0])
+    else:
+        ds = rd.read_parquet(files)
+    if validate:
+        import pyarrow as pa
+
+        def _check(batch: pa.Table) -> pa.Table:
+            validate_documents(batch)
+            return batch
+
+        ds = ds.map_batches(_check, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
