@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash banding.
+
+Scale notes (the part that matters at 100 TB):
+- exact dedup never shuffles raw text: a content hash is computed
+  vectorized per batch, *partial* (hash → min doc_id, count) aggregates
+  are emitted per batch, and only those partials go through the
+  ``groupby`` exchange (pre-aggregation pattern).
+- MinHash-LSH shuffles only (band_id, band_hash, doc_id, signature)
+  rows — signatures are ~``num_perm×8`` bytes, not documents; candidate
+  pairs are verified from signatures inside the band groups, so no
+  second join over the corpus.
+- SimHash banding shuffles 4×16-bit band keys per doc and verifies
+  Hamming distance inside groups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import SimHasher, hamming64
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def _content_hash_batch(batch: pa.Table) -> pa.Table:
+    """Partial aggregate: one row per distinct content hash per batch."""
+    texts = batch.column("text").to_pylist()
+    hashes = pa.array(
+        [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+    )
+    t = pa.table({"h": hashes, "doc_id": batch.column("doc_id")})
+    return t.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+
+
+def exact_dedup(docs):
+    """documents Dataset → (doc_id, n_dups): representative (min doc_id)
+    and multiplicity per distinct text."""
+    from ray.data.aggregate import Min, Sum
+
+    partials = docs.map_batches(_content_hash_batch, batch_format="pyarrow")
+    agg = partials.groupby("h").aggregate(
+        Min("doc_id_min", alias_name="doc_id"),
+        Sum("doc_id_count", alias_name="n_dups"),
+    )
+    return agg.select_columns(["doc_id", "n_dups"])
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHashLSH:
+    """Actor-pool stage: doc text → LSH band rows.
+
+    __init__ draws the (a, b) hash-permutation parameters once per actor
+    from a fixed seed (deterministic across actors); __call__ emits
+    ``bands`` rows per doc: (band_id, band_hash, doc_id, sig).
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 seed: int = 42):
+        assert num_perm % bands == 0
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        toks = text.split()
+        k = self.shingle_k
+        if len(toks) < k:
+            shingles = {" ".join(toks)} if toks else {""}
+        else:
+            shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                )
+                for s in shingles
+            ),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self._shingle_hashes(text)
+        # (num_perm, n_shingles) universal hashing, min over shingles
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes, sigs = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = self.signature(text)
+            for b in range(self.bands):
+                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                bh = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+                doc_ids.append(doc_id)
+                band_ids.append(b)
+                band_hashes.append(bh)
+                sigs.append(sig.astype(np.int64).tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.string()),
+                "sig": pa.array(sigs, type=pa.binary()),
+            }
+        )
+
+
+def _band_pairs(group: pa.Table, threshold: float, num_perm: int) -> pa.Table:
+    """Candidate pairs within one (band_id, band_hash) bucket, verified
+    by estimated Jaccard from the full signatures carried in the rows."""
+    ids = group.column("doc_id").to_pylist()
+    sigs = [np.frombuffer(s, dtype=np.int64) for s in group.column("sig").to_pylist()]
+    a_out, b_out, est_out = [], [], []
+    for (i, j) in itertools.combinations(range(len(ids)), 2):
+        if ids[i] == ids[j]:
+            continue
+        est = float(np.mean(sigs[i] == sigs[j]))
+        if est >= threshold:
+            a, b = sorted((ids[i], ids[j]))
+            a_out.append(a)
+            b_out.append(b)
+            est_out.append(est)
+    return pa.table(
+        {
+            "a_id": pa.array(a_out, type=pa.int64()),
+            "b_id": pa.array(b_out, type=pa.int64()),
+            "est_jaccard": pa.array(est_out, type=pa.float64()),
+        }
+    )
+
+
+def minhash_dup_pairs(docs, *, threshold: float = 0.8, num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3, concurrency=(1, 8)):
+    """documents Dataset → near-duplicate pairs (a_id, b_id, est_jaccard).
+
+    shingle → minhash → band → bucket groupby → verify-in-bucket; pairs
+    found in several buckets are deduplicated with a final groupby.
+    """
+    from ray.data.aggregate import Max
+
+    band_rows = docs.map_batches(
+        MinHashLSH,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_k": shingle_k,
+        },
+    )
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _band_pairs(g, threshold, num_perm), batch_format="pyarrow"
+    )
+    return (
+        pairs.groupby(["a_id", "b_id"])
+        .aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    )
+
+
+# --- n-gram Jaccard (verification kernel, shared by tests) ------------------
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t: str) -> set:
+        toks = t.split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --- SimHash near-dup -------------------------------------------------------
+
+
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """4 bands × 16 bits per doc; exact band match → candidate."""
+    batch = batch.combine_chunks()
+    sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    n = len(batch)
+    doc = np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), 4)
+    full = np.repeat(sh.view(np.int64), 4)
+    band_id = np.tile(np.arange(4, dtype=np.int32), n)
+    band_val = np.empty(4 * n, dtype=np.int64)
+    for b in range(4):
+        band_val[b::4] = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(
+            np.int64
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "band_id": pa.array(band_id),
+            "band_val": pa.array(band_val),
+            "simhash": pa.array(full),
+        }
+    )
+
+
+def _simhash_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
+    ids = group.column("doc_id").to_pylist()
+    hashes = group.column("simhash").to_pylist()
+    a_out, b_out, d_out = [], [], []
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        if ids[i] == ids[j]:
+            continue
+        d = hamming64(hashes[i], hashes[j])
+        if d <= max_hamming:
+            a, b = sorted((ids[i], ids[j]))
+            a_out.append(a)
+            b_out.append(b)
+            d_out.append(d)
+    return pa.table(
+        {
+            "a_id": pa.array(a_out, type=pa.int64()),
+            "b_id": pa.array(b_out, type=pa.int64()),
+            "hamming": pa.array(d_out, type=pa.int32()),
+        }
+    )
+
+
+def simhash_dup_pairs(docs, *, max_hamming: int = 3, concurrency=(1, 8)):
+    """documents Dataset → (a_id, b_id, hamming) pairs with SimHash
+    Hamming distance ≤ max_hamming (banding guarantees recall for ≤ 3
+    differing bits across 4 bands by pigeonhole)."""
+    from ray.data.aggregate import Min
+
+    hashed = docs.map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=concurrency
+    )
+    bands = hashed.map_batches(_simhash_band_rows, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        lambda g: _simhash_pairs(g, max_hamming), batch_format="pyarrow"
+    )
+    return pairs.groupby(["a_id", "b_id"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

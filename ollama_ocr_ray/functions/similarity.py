@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_cosine``: brute-force top-k — per-batch numpy matmul against a
+  broadcast query matrix (the baseline; exact).
+- ``lsh_ann``: random-hyperplane LSH bucketing with multiprobe — the
+  scale path: candidates come from hash buckets, exact rerank only over
+  candidates.  Same partitioning trick as MinHash banding.
+- ``embedding_near_dup_pairs``: all-pairs cosine ≥ threshold via
+  bucketed blocking (here brute-force per batch against the broadcast
+  matrix — the n×n side stays out of the shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    col = batch.column("embedding").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    dim = len(col[0])
+    mat = flat.reshape(len(ids), dim).astype(np.float64)
+    return ids, mat
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_cosine(embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
+               k: int = 10):
+    """Dataset(vec_id, embedding) × broadcast query matrix → top-k rows
+    (q_id, rank, vec_id) by cosine, ties broken by vec_id.
+
+    Per-batch: matmul + per-query top-k partials; global: sort + limit
+    per query (the partials keep the exchange tiny: k rows per query per
+    batch, never the corpus)."""
+    qn = _normalize(query_matrix.astype(np.float64))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        sims = _normalize(mat) @ qn.T  # (n, Q)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([int(query_ids[qi])] * kk)
+            out_v.extend(ids[top].tolist())
+            out_s.extend(col[top].tolist())
+        return pa.table(
+            {
+                "q_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = embeddings.map_batches(partials, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sim", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, k)
+        return pa.table(
+            {
+                "q_id": g.column("q_id"),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "vec_id": g.column("vec_id"),
+            }
+        )
+
+    return cand.groupby("q_id").map_groups(topk, batch_format="pyarrow")
+
+
+class HyperplaneLSH:
+    """Actor-pool stage: embedding → LSH bucket id (sign bits of
+    ``n_planes`` random hyperplane projections, fixed seed)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_planes, dim))
+        self.n_planes = n_planes
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) > 0  # (n, P)
+        return bits @ (1 << np.arange(self.n_planes, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _ids, mat = _batch_matrix(batch)
+        return batch.append_column(
+            "bucket", pa.array(self.bucket_of(mat), type=pa.int64())
+        )
+
+
+def lsh_ann(embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
+            dim: int, k: int = 10, n_planes: int = 6, multiprobe: int = 2,
+            concurrency=(1, 4)):
+    """Approximate top-k: bucket vectors by hyperplane LSH, search only
+    buckets within ``multiprobe`` bit flips of each query's bucket,
+    exact-rerank candidates.  Recall measured in tests vs knn_cosine."""
+    lsh = HyperplaneLSH(dim, n_planes)
+    qn = _normalize(query_matrix.astype(np.float64))
+    q_buckets = lsh.bucket_of(qn)
+    probe_sets = []
+    for qb in q_buckets:
+        probes = {int(qb)}
+        if multiprobe >= 1:
+            for p in range(n_planes):
+                probes.add(int(qb) ^ (1 << p))
+        if multiprobe >= 2:
+            for p in range(n_planes):
+                for p2 in range(p + 1, n_planes):
+                    probes.add(int(qb) ^ (1 << p) ^ (1 << p2))
+        probe_sets.append(probes)
+    all_buckets = set().union(*probe_sets)
+
+    bucketed = embeddings.map_batches(
+        HyperplaneLSH,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        keep = np.isin(buckets, list(all_buckets))
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            sub = batch.filter(pa.array(keep))
+            ids, mat = _batch_matrix(sub)
+            sub_buckets = buckets[keep]
+            sims = _normalize(mat) @ qn.T
+            for qi, probes in enumerate(probe_sets):
+                cand = np.isin(sub_buckets, list(probes))
+                if not cand.any():
+                    continue
+                col = sims[cand, qi]
+                cids = ids[cand]
+                kk = min(k, len(cids))
+                top = np.argpartition(-col, kk - 1)[:kk]
+                out_q.extend([int(query_ids[qi])] * kk)
+                out_v.extend(cids[top].tolist())
+                out_s.extend(col[top].tolist())
+        return pa.table(
+            {
+                "q_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = bucketed.map_batches(partials, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sim", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, k)
+        return pa.table(
+            {
+                "q_id": g.column("q_id"),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "vec_id": g.column("vec_id"),
+            }
+        )
+
+    return cand.groupby("q_id").map_groups(topk, batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs(embeddings, full_matrix: np.ndarray,
+                             full_ids: np.ndarray, threshold: float):
+    """(a_id, b_id, sim) for all pairs with cosine ≥ threshold.  The
+    full normalized matrix is broadcast (ray.put by the caller for real
+    clusters); each batch does one (batch × corpus) matmul — the
+    quadratic work is distributed over batches, nothing quadratic is
+    shuffled."""
+    fn_mat = _normalize(full_matrix.astype(np.float64))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        sims = _normalize(mat) @ fn_mat.T  # (n_batch, N)
+        a_out, b_out, s_out = [], [], []
+        for r in range(len(ids)):
+            hits = np.nonzero(sims[r] >= threshold)[0]
+            for c in hits:
+                if full_ids[c] > ids[r]:  # each unordered pair once
+                    a_out.append(int(ids[r]))
+                    b_out.append(int(full_ids[c]))
+                    s_out.append(float(sims[r, c]))
+        return pa.table(
+            {
+                "a_id": pa.array(a_out, type=pa.int64()),
+                "b_id": pa.array(b_out, type=pa.int64()),
+                "sim": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow")

@@ -1,0 +1,157 @@
+"""Text analysis operators: token stats, BPE-ish token counting,
+quality scoring, language-ID heuristic, document fingerprints.
+
+All hot paths are vectorized over Arrow batches (pyarrow.compute string
+kernels + numpy segment reductions); the only Python-per-row loops are
+in fingerprinting where the kernel is a per-document hash chain.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Stopword set for quality scoring — shared with the SQL oracles (the
+# list literal is embedded in the oracle query strings).
+STOPWORDS = ("the", "and", "of", "a", "in", "to")
+
+# BPE-ish pre-tokenization pattern.  Both Arrow and DuckDB run RE2, so
+# the same pattern counts identically in engine and oracle.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _segment_count(list_array, flat_mask: np.ndarray, n_rows: int) -> np.ndarray:
+    """Per-row count of flattened-list elements where ``flat_mask``."""
+    parents = pc.list_parent_indices(list_array).to_numpy(zero_copy_only=False)
+    return np.bincount(parents[flat_mask], minlength=n_rows)
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Adds n_tokens, n_stop, stop_ratio, n_chars (whitespace tokenizer,
+    the engine analog of the reference's char counting, G1 at
+    ``ocr_router.py:408``)."""
+    batch = batch.combine_chunks()
+    text = batch.column("text")
+    toks = pc.utf8_split_whitespace(text)
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    flat = pc.list_flatten(toks)
+    stop_mask = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = _segment_count(toks, stop_mask, len(batch))
+    nt = n_tokens.to_numpy(zero_copy_only=False)
+    ratio = np.divide(n_stop, nt, out=np.zeros(len(batch)), where=nt > 0)
+    return batch.append_column("n_tokens", n_tokens).append_column(
+        "n_stop", pa.array(n_stop, type=pa.int64())
+    ).append_column("stop_ratio", pa.array(ratio, type=pa.float64()))
+
+
+def bpe_count_batch(batch: pa.Table) -> pa.Table:
+    """Adds n_bpe: count of BPE_PATTERN matches (RE2 in Arrow)."""
+    n = pc.count_substring_regex(batch.column("text"), BPE_PATTERN).cast(pa.int64())
+    return batch.append_column("n_bpe", n)
+
+
+# --- language ID heuristic (stateful: compiled marker tables) --------------
+LANG_MARKERS = {
+    "en": {"the", "and", "of", "in", "to", "is", "a"},
+    "es": {"el", "la", "de", "que", "y", "los", "en"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une"},
+    "de": {"der", "die", "das", "und", "ein", "ist", "zu"},
+    "zh": {"de5", "shi4", "le5", "zai4", "you3"},  # pinyin-ish placeholder
+}
+
+
+class LangId:
+    """Actor-pool stage: marker tables built once per actor.  A real
+    deployment swaps in fasttext/cld3 weights here; the heuristic is the
+    n-gram/stopword-profile fallback."""
+
+    def __init__(self):
+        self.langs = sorted(LANG_MARKERS)
+        self.marker_to_lang: dict[str, int] = {}
+        for li, lang in enumerate(self.langs):
+            for w in LANG_MARKERS[lang]:
+                self.marker_to_lang.setdefault(w, li)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        for i, tok in enumerate(flat):
+            li = self.marker_to_lang.get(tok)
+            if li is not None:
+                scores[parents[i], li] += 1
+        best = np.argmax(scores, axis=1)
+        none = scores.max(axis=1) == 0
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[none] = "und"
+        return batch.append_column("pred_lang", pa.array(pred, type=pa.string()))
+
+
+# --- fingerprints -----------------------------------------------------------
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 262_147
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Polynomial rolling hash of the whole document (Karp-Rabin style)."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * _FP_BASE + b + 1) % _FP_MOD
+    return h
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    fps = [rolling_fingerprint(t) for t in batch.column("text").to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps, type=pa.int64()))
+
+
+def _token_hash64(token: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+class SimHasher:
+    """64-bit SimHash over whitespace tokens.  Per-actor token-hash
+    cache amortizes hashing across batches (vocabulary repeats)."""
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def _h(self, tok: str) -> int:
+        v = self._cache.get(tok)
+        if v is None:
+            v = _token_hash64(tok)
+            self._cache[tok] = v
+        return v
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = np.uint64(self._h(tok))
+            bits = ((h >> self._SHIFTS) & np.uint64(1)).astype(np.int64)
+            acc += 2 * bits - 1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        # int64 view of the uint64 hash (Arrow-friendly)
+        arr = np.array(sh, dtype=np.uint64).view(np.int64)
+        return batch.append_column("simhash", pa.array(arr, type=pa.int64()))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

@@ -1,0 +1,350 @@
+"""Driver-checkable query registry: every operator from SURVEY.md §2 and
+the training-data-pipeline suite, as callables over an sf_dir plus (where
+SQL-expressible) a DuckDB oracle string with matching column names.
+
+None of these call ray.init — the session is owned by the caller.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions import dedup, relational, similarity, text as ftext
+
+# Stopword literal shared with oracle SQL strings.
+_STOP_SQL = "('the','and','of','a','in','to')"
+_BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- corpus synthesis sizing for the extraction queries ---------------------
+_CORPUS_DOCS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 2000}
+
+
+def _corpus_path(sf_dir: str) -> str:
+    import os
+
+    from . import synth
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    n = _CORPUS_DOCS.get(name, 200)
+    return synth.write_corpus("/tmp/ollama_ocr_ray_corpus", n, seed=42)
+
+
+# --- query callables --------------------------------------------------------
+
+
+def q_doc_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.token_stats_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_tokens", "n_stop", "stop_ratio"])
+
+
+def q_bpe_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.bpe_count_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_bpe"])
+
+
+def q_lang_summary(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "chars": pc.utf8_length(batch.column("text")).cast(pa.int64()),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate([("chars", "sum"), ("one", "sum")])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("chars_sum", alias_name="total_chars"),
+        Sum("one_sum", alias_name="n_docs"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        tc = batch.column("total_chars").to_numpy(zero_copy_only=False)
+        nd = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(nd, type=pa.int64()),
+                "total_chars": pa.array(tc, type=pa.int64()),
+                "avg_chars": pa.array(tc / nd),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.exact_dedup(ds)
+
+
+def q_top_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return relational.top_docs_by_len(ds, k=100)
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    return relational.pricing_summary(ds)
+
+
+def q_segment_revenue(sf_dir: str):
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist())
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return relational.segment_revenue(orders, lookup)
+
+
+def q_events_hourly(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "user_id", "value"])
+    return relational.events_hourly(ev)
+
+
+def _query_matrix(sf_dir: str, q_ids: list[int]):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"))
+    want = {int(q): None for q in q_ids}
+    rows = []
+    for q in q_ids:
+        idx = int(np.nonzero(ids == q)[0][0])
+        rows.append(np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64))
+    return np.stack(rows), np.array(q_ids, dtype=np.int64)
+
+
+def q_knn_cosine(sf_dir: str):
+    qm, qids = _query_matrix(sf_dir, [0, 1, 2, 3, 4])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.knn_cosine(emb, qm, qids, k=10)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.embedding_near_dup_pairs(emb, mat, ids, threshold=0.45)
+    return out.select_columns(["a_id", "b_id"])
+
+
+# --- rows-only queries (not SQL-expressible) --------------------------------
+
+
+def q_extract_canonical(sf_dir: str):
+    from .pipelines.extract import extract_pipeline, summary_table
+    from .sources.io import read_documents
+
+    docs = read_documents(_corpus_path(sf_dir))
+    return summary_table(extract_pipeline(docs, with_stats=True))
+
+
+def q_extract_fused(sf_dir: str):
+    from .pipelines.extract import fused_pipeline
+
+    docs = _read_corpus(sf_dir)
+    return fused_pipeline(docs).map_batches(
+        _spans_digest, batch_format="pyarrow"
+    )
+
+
+def _read_corpus(sf_dir: str):
+    from .sources.io import read_documents
+
+    return read_documents(_corpus_path(sf_dir))
+
+
+def _spans_digest(batch: pa.Table) -> pa.Table:
+    """Flatten extracted rows to a deterministic digest table (rows-only
+    compare still benefits from stable content)."""
+    import hashlib
+
+    rows = batch.to_pylist()
+    out = {
+        "doc_id": [r["doc_id"] for r in rows],
+        "n_spans": [len(r["spans"]) for r in rows],
+        "digest": [
+            hashlib.sha256(
+                "\x1f".join(
+                    f"{s['kind']}\x1e{s['text']}\x1e{s['media_ref']}\x1e{s['order']}"
+                    for s in r["spans"]
+                ).encode()
+            ).hexdigest()
+            for r in rows
+        ],
+    }
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"]),
+            "n_spans": pa.array(out["n_spans"], type=pa.int64()),
+            "digest": pa.array(out["digest"]),
+        }
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.minhash_dup_pairs(ds, threshold=0.8)
+
+
+def q_simhash_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_dup_pairs(ds, max_hamming=3)
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        ftext.LangId, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.fingerprint_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "fingerprint"])
+
+
+def q_knn_lsh(sf_dir: str):
+    qm, qids = _query_matrix(sf_dir, [0, 1, 2, 3, 4])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.lsh_ann(emb, qm, qids, dim=qm.shape[1], k=10)
+
+
+# --- registry ---------------------------------------------------------------
+
+
+def queries() -> dict:
+    return {
+        "doc_token_stats": q_doc_token_stats,
+        "bpe_token_count": q_bpe_token_count,
+        "lang_summary": q_lang_summary,
+        "exact_dedup": q_exact_dedup,
+        "top_docs": q_top_docs,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "events_hourly": q_events_hourly,
+        "knn_cosine": q_knn_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
+        # rows-only (non-SQL-expressible)
+        "extract_canonical": q_extract_canonical,
+        "extract_fused": q_extract_fused,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "knn_lsh": q_knn_lsh,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stop,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN {_STOP_SQL})) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+                     AS n_bpe
+            FROM documents
+        """,
+        "lang_summary": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "top_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0
+                AS sum_base_price,
+              sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5)
+                  AS BIGINT))/10000.0 AS sum_disc_price,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)/count(*)
+                AS avg_qty,
+              (sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0)
+                /count(*) AS avg_price,
+              CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0
+                     AS total_revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
+                     AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.q_id, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS sim
+                  FROM embeddings e, q),
+            r AS (SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id
+            FROM r WHERE rank <= 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+    }
