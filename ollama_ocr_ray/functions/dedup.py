@@ -252,3 +252,99 @@ def simhash_dup_pairs(docs, *, max_hamming: int = 3, concurrency=(1, 8)):
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+def ngram_dup_pairs(docs, *, k: int = 3, threshold: float = 0.5,
+                    num_perm: int = 64, bands: int = 16,
+                    concurrency=(1, 8)):
+    """Near-dup pairs by EXACT character-k-gram Jaccard, with MinHash
+    banding as the candidate generator: signature+text rows land in band
+    buckets (groupby), candidate pairs inside a bucket are verified by
+    exact shingle-set Jaccard, then pairs dedup across bands.
+
+    Scale note: text rides along into the band groups here (duplicated
+    per band), which is right at test scale; the 100 TB path carries
+    only (doc_id, signature) through the shuffle and re-joins text by
+    doc_id hash for the verify stage.
+    """
+    import pyarrow.compute as pc
+
+    rows_per_band = num_perm // bands
+
+    def sig_rows(hasher, batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_band, out_key, out_id, out_text = [], [], [], []
+        for i, t in enumerate(texts):
+            sig = hasher.signature(t)
+            for b in range(bands):
+                seg = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                key = hash((b,) + tuple(int(x) for x in seg)) & ((1 << 62) - 1)
+                out_band.append(b)
+                out_key.append(key)
+                out_id.append(ids[i])
+                out_text.append(t)
+        return pa.table(
+            {
+                "band": pa.array(out_band, type=pa.int32()),
+                "bucket": pa.array(out_key, type=pa.int64()),
+                "doc_id": pa.array(out_id),
+                "text": pa.array(out_text, type=pa.string()),
+            }
+        )
+
+    class SigRows:
+        def __init__(self):
+            self._h = MinHashLSH(num_perm=num_perm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return sig_rows(self._h, batch)
+
+    def shingles(t: str) -> set:
+        return {t[i:i + k] for i in range(max(1, len(t) - k + 1))}
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        ids = group.column("doc_id").to_pylist()
+        texts = group.column("text").to_pylist()
+        id_type = group.column("doc_id").type
+        if len(ids) < 2:
+            return pa.table(
+                {"a_id": pa.array([], type=id_type),
+                 "b_id": pa.array([], type=id_type),
+                 "jaccard": pa.array([], type=pa.float64())}
+            )
+        sh = [shingles(t) for t in texts]
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i] | sh[j])
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(jac)
+        return pa.table(
+            {"a_id": pa.array(a_out, type=id_type),
+             "b_id": pa.array(b_out, type=id_type),
+             "jaccard": pa.array(j_out, type=pa.float64())}
+        )
+
+    pairs = (
+        docs.map_batches(SigRows, batch_format="pyarrow",
+                         concurrency=concurrency)
+        .groupby(["band", "bucket"])
+        .map_groups(verify_group, batch_format="pyarrow")
+    )
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pairs.groupby(["a_id", "b_id"]).map_groups(
+        dedup_pairs, batch_format="pyarrow"
+    )

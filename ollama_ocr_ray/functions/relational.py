@@ -183,3 +183,230 @@ def events_hourly(events):
     return rows.groupby(["event_type", "window_start"]).map_groups(
         per_group, batch_format="pyarrow"
     )
+
+
+def order_priority_counts(orders, date_lo: str, date_hi: str):
+    """Order counts by priority within a date window — predicate
+    pushdown + tiny groupby (TPC-H Q4-shaped, minus the exists)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        d = batch.column("o_orderdate")
+        keep = pc.and_(
+            pc.greater_equal(d, pa.scalar(np.datetime64(date_lo, "us"))),
+            pc.less(d, pa.scalar(np.datetime64(date_hi, "us"))),
+        )
+        t = batch.filter(keep)
+        out = pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        return out.group_by("o_orderpriority").aggregate([("one", "sum")])
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("one_sum", alias_name="order_count"))
+    )
+
+
+def top_suppliers(lineitem, supplier_names: dict, k: int = 10):
+    """Revenue per supplier (partial pre-agg inside map_batches) →
+    broadcast name join → global top-k.  The shuffle carries one row
+    per (batch, suppkey) partial, never raw lineitem."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev_dm": pa.array(
+                    np.floor(ep * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+        return t.group_by("l_suppkey").aggregate([("rev_dm", "sum")])
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_dm_sum", alias_name="rev_dm"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keys = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        names = pa.array(
+            [supplier_names.get(int(s), "UNKNOWN") for s in keys],
+            type=pa.string(),
+        )
+        return pa.table(
+            {
+                "l_suppkey": batch.column("l_suppkey"),
+                "s_name": names,
+                "revenue": pa.array(
+                    batch.column("rev_dm").to_numpy(zero_copy_only=False)
+                    / 10000.0
+                ),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["revenue", "l_suppkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def nation_customer_rollup(customer, nation_names: dict, region_of: dict):
+    """Customers per nation with region name and exact acctbal total —
+    a two-level broadcast join (nation+region are tiny dimension tables:
+    lookup dicts shipped once, no shuffle join, SURVEY.md §2.7)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        t = pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey").cast(pa.int32()),
+                "bal_cents": _cents(batch.column("c_acctbal")),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("c_nationkey").aggregate(
+            [("bal_cents", "sum"), ("one", "sum")]
+        )
+
+    agg = (
+        customer.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("bal_cents_sum", alias_name="cents"),
+            Sum("one_sum", alias_name="n_customers"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keys = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nation_names.get(int(x), "UNKNOWN") for x in keys]
+                ),
+                "r_name": pa.array(
+                    [region_of.get(int(x), "UNKNOWN") for x in keys]
+                ),
+                "n_customers": batch.column("n_customers").cast(pa.int64()),
+                "total_acctbal": pa.array(
+                    batch.column("cents").to_numpy(zero_copy_only=False) / 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def asof_last_order(events, orders_by_cust: dict):
+    """As-of join: each event → the most recent order date of the same
+    customer at or before the event timestamp (NULL when none).
+
+    Ray Data has no as-of join primitive; this is the broadcast
+    composition from SURVEY.md §2.7: the small side (per-customer sorted
+    order-date arrays) ships to every task once, each batch does
+    vectorized binary searches.  Partitioning assumption: the orders
+    side fits in a broadcast object (per-key arrays); a large right side
+    would switch to a hash-partitioned merge with the same per-key
+    searchsorted body inside ``groupby(user).map_groups``.
+    """
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = np.empty(len(users), dtype=np.int64)
+        valid = np.zeros(len(users), dtype=bool)
+        for i, (u, t) in enumerate(zip(users, ts)):
+            dates = orders_by_cust.get(int(u))
+            if dates is None:
+                continue
+            j = np.searchsorted(dates, t, side="right") - 1
+            if j >= 0:
+                out[i] = dates[j]
+                valid[i] = True
+        dates_arr = pa.array(
+            np.where(valid, out, 0), type=pa.int64(), mask=~valid
+        ).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "last_order_date": dates_arr,
+            }
+        )
+
+    return events.map_batches(lookup, batch_format="pyarrow")
+
+
+def build_orders_by_cust(orders_table: pa.Table) -> dict:
+    """Driver-side small-side build for asof_last_order: custkey →
+    ascending int64(us) order-date array (ray.put once on real
+    clusters)."""
+    cust = orders_table.column("o_custkey").to_numpy(zero_copy_only=False)
+    dates = (
+        orders_table.column("o_orderdate")
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    order = np.lexsort((dates, cust))
+    cust, dates = cust[order], dates[order]
+    out: dict = {}
+    starts = np.flatnonzero(np.concatenate([[True], cust[1:] != cust[:-1]]))
+    bounds = np.concatenate([starts, [len(cust)]])
+    for i in range(len(starts)):
+        out[int(cust[starts[i]])] = dates[bounds[i]:bounds[i + 1]].copy()
+    return out
+
+
+def sessionize(events, gap_minutes: int = 30):
+    """Gap-based sessionization per user: a session breaks when the
+    inter-event gap exceeds ``gap_minutes``.  One shuffle
+    (groupby(user_id)); the per-group body is vectorized numpy over the
+    sorted timestamps.  Output: one row per session."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = group.column("value").to_numpy(zero_copy_only=False)
+        micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts, micro = ts[order], micro[order]
+        brk = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
+        sid = np.cumsum(brk) - 1
+        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(ts)]])
+        sum_micro = np.add.reduceat(micro, starts) if len(ts) else np.array([])
+        uid = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * n_sessions, type=pa.int64()),
+                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    ts[ends - 1], type=pa.int64()
+                ).cast(pa.timestamp("us")),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "sum_value": pa.array(sum_micro / 1e6, type=pa.float64()),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

@@ -199,3 +199,79 @@ def embedding_near_dup_pairs(embeddings, full_matrix: np.ndarray,
         )
 
     return embeddings.map_batches(pairs, batch_format="pyarrow")
+
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int = 8,
+            seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means for IVF centroids (driver-side over a
+    bounded sample; real deployments train offline and broadcast)."""
+    rng = np.random.RandomState(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(cent).T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_ann(embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
+            sample_matrix: np.ndarray, k: int = 10, nlist: int = 16,
+            nprobe: int = 4):
+    """IVF-flat approximate top-k: k-means centroids over a driver-side
+    sample (broadcast), per-batch assignment to nearest centroid, search
+    restricted to each query's ``nprobe`` closest lists, exact rerank of
+    candidates.  Same partial-top-k exchange shape as ``knn_cosine`` —
+    only k rows per (query, batch) ever shuffle; the inverted-list
+    pruning cuts the matmul row count by ~nlist/nprobe at scale."""
+    cent = _kmeans(sample_matrix.astype(np.float64), nlist)
+    cn = _normalize(cent)
+    qn = _normalize(query_matrix.astype(np.float64))
+    q_lists = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_sets = [set(row.tolist()) for row in q_lists]
+    union_lists = set().union(*probe_sets)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        mn = _normalize(mat)
+        assign = np.argmax(mn @ cn.T, axis=1)
+        keep = np.isin(assign, list(union_lists))
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            sub_ids, sub_mn, sub_assign = ids[keep], mn[keep], assign[keep]
+            sims = sub_mn @ qn.T
+            for qi, probes in enumerate(probe_sets):
+                cand = np.isin(sub_assign, list(probes))
+                if not cand.any():
+                    continue
+                col = sims[cand, qi]
+                cids = sub_ids[cand]
+                kk = min(k, len(cids))
+                top = np.argpartition(-col, kk - 1)[:kk]
+                out_q.extend([int(query_ids[qi])] * kk)
+                out_v.extend(cids[top].tolist())
+                out_s.extend(col[top].tolist())
+        return pa.table(
+            {
+                "q_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = embeddings.map_batches(partials, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("sim", "descending"), ("vec_id", "ascending")])
+        g = g.slice(0, k)
+        return pa.table(
+            {
+                "q_id": g.column("q_id"),
+                "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                "vec_id": g.column("vec_id"),
+            }
+        )
+
+    return cand.groupby("q_id").map_groups(topk, batch_format="pyarrow")

@@ -155,3 +155,45 @@ class SimHasher:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# --- quality scoring ---------------------------------------------------------
+# Punctuation class shared verbatim with the SQL oracle (RE2 both sides).
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Document quality signals: length, punctuation ratio, stopword
+    ratio, and a linear composite score.  Pure pyarrow.compute string
+    kernels; the score arithmetic is written with the same operation
+    order as the SQL oracle so doubles match bit-for-bit."""
+    batch = batch.combine_chunks()
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_punct = pc.count_substring_regex(text, PUNCT_PATTERN).cast(pa.int64())
+    toks = pc.utf8_split_whitespace(text)
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    flat = pc.list_flatten(toks)
+    stop_mask = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = _segment_count(toks, stop_mask, len(batch))
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    npu = n_punct.to_numpy(zero_copy_only=False)
+    nt = n_tokens.to_numpy(zero_copy_only=False)
+    denom_c = np.maximum(nc, 1)
+    denom_t = np.maximum(nt, 1)
+    punct_ratio = npu / denom_c
+    stop_ratio = n_stop / denom_t
+    # linear composite, left-associated exactly like the oracle SQL
+    score = (stop_ratio * 0.5) + (punct_ratio * 0.3)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": n_chars,
+            "n_punct": n_punct,
+            "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
+            "stop_ratio": pa.array(stop_ratio, type=pa.float64()),
+            "quality_score": pa.array(score, type=pa.float64()),
+        }
+    )

@@ -33,12 +33,51 @@ from ..stages.pdf_parse import parse_pdf_stage
 from ..stages.reassemble import REASSEMBLED_SCHEMA, reassemble_group
 
 
+_BURN_MS_PER_ITER = 0.00055  # measured sha256 cost on the bench host
+
+
+def _cluster_cpus() -> int:
+    try:
+        import ray
+
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _pool_sizing(ocr_burn: int, ocr_latency_ms: float):
+    """(concurrency, num_cpus_per_actor, batch_size) for the OCR pool.
+
+    A high pool minimum matters: Ray's autoscaling pool ramps lazily and
+    tasks already queued on the first actors never migrate, so a (2, N)
+    pool on a short job runs at ~3x parallelism regardless of N
+    (measured in BASELINE.md).  Leaving a little CPU slack keeps
+    read/shuffle tasks from starving; an exact-CPUs fixed pool
+    deadlocks the stream.
+
+    When inference cost is latency-bound (GPU/remote model — the
+    reference's real profile, ``ollama_local_ocr.py:202``), actors
+    sleep more than they compute, so run 2 actors per CPU
+    (num_cpus=0.5) and larger batches to amortize driver dispatch;
+    compute-bound mocks get 1 actor per CPU.
+    """
+    cpus = _cluster_cpus()
+    latency_bound = ocr_latency_ms > ocr_burn * _BURN_MS_PER_ITER
+    if latency_bound:
+        n_actors = 2 * cpus
+        return (max(2, n_actors - 2), n_actors), 0.5, 128
+    n_actors = max(2, cpus)
+    return (max(2, n_actors - 1), n_actors), 1, 64
+
+
 def extract_pipeline(
     docs,
     *,
     ocr_burn: int = 0,
+    ocr_latency_ms: float = 0.0,
     ocr_batch_size: int = 512,
-    ocr_concurrency=(2, 8),
+    ocr_concurrency=None,
+    ocr_num_cpus=None,
     with_stats: bool = False,
 ):
     """documents Dataset → extracted Dataset (EXTRACTED_SCHEMA [+stats]).
@@ -46,6 +85,11 @@ def extract_pipeline(
     Canonical plan: span-granular parallelism + one groupby(doc_id)
     exchange for reassembly.
     """
+    auto_conc, auto_cpus, _ = _pool_sizing(ocr_burn, ocr_latency_ms)
+    if ocr_concurrency is None:
+        ocr_concurrency = auto_conc
+    if ocr_num_cpus is None:
+        ocr_num_cpus = auto_cpus
     spans = (
         docs.map_batches(explode_batch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
@@ -55,8 +99,11 @@ def extract_pipeline(
             zero_copy_batch=True,
             batch_size=ocr_batch_size,
             concurrency=ocr_concurrency,
-            num_cpus=1,
-            fn_constructor_kwargs={"burn_iters": ocr_burn},
+            num_cpus=ocr_num_cpus,
+            fn_constructor_kwargs={
+                "burn_iters": ocr_burn,
+                "latency_ms": ocr_latency_ms,
+            },
         )
     )
     out = spans.groupby("doc_id").map_groups(
@@ -75,12 +122,14 @@ class FusedExtractor:
     row, so no reassembly exchange is needed.
     """
 
-    def __init__(self, burn_iters: int = 0, with_stats: bool = False):
-        self._ocr = OcrModel(burn_iters=burn_iters)
+    def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
+                 with_stats: bool = False):
+        self._ocr = OcrModel(burn_iters=burn_iters, latency_ms=latency_ms)
         self.with_stats = with_stats
 
-    def _extract_doc(self, spans: list[dict]) -> list[dict]:
+    def _extract_doc(self, spans: list[dict]) -> tuple[list[dict], int]:
         out = []
+        n_media = 0
         for s in sorted(spans, key=lambda s: s["offset"]):
             kind = s["kind"]
             if kind == "text":
@@ -97,22 +146,25 @@ class FusedExtractor:
                     out.append(("error", ERROR_TEXT, ref))
                 else:
                     self._ocr._burn(ref)
+                    n_media += 1
                     out.append(("ocr", mock_transcript(ref), ref))
             else:
                 out.append(("error", unsupported_text(kind), s["media_ref"]))
         return [
             {"kind": k, "text": t, "media_ref": m, "order": i}
             for i, (k, t, m) in enumerate(out)
-        ]
+        ], n_media
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
 
         rows = batch.to_pylist()
         out = []
+        batch_media = 0
         for r in rows:
             t0 = time.perf_counter()
-            spans = self._extract_doc(r["spans"])
+            spans, n_media = self._extract_doc(r["spans"])
+            batch_media += n_media
             row = {"doc_id": r["doc_id"], "spans": spans}
             if self.with_stats:
                 row["engine"] = spans[0]["kind"] if spans else ""
@@ -121,22 +173,90 @@ class FusedExtractor:
                 row["n_errors"] = sum(1 for s in spans if s["kind"] == "error")
                 row["ocr_ms"] = (time.perf_counter() - t0) * 1e3
             out.append(row)
+        # one batched sleep per call: batched inference amortizes per-call
+        # latency; per-span cost is what scales (see OcrModel)
+        self._ocr.simulate_latency(batch_media)
         schema = REASSEMBLED_SCHEMA if self.with_stats else EXTRACTED_SCHEMA
         return pa.Table.from_pylist(out, schema=schema)
 
 
-def fused_pipeline(docs, *, ocr_burn: int = 0, batch_size: int = 64,
-                   concurrency=(2, 8), with_stats: bool = False):
+def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
+                   batch_size: int | None = None, concurrency=None,
+                   num_cpus=None, with_stats: bool = False):
     """documents Dataset → extracted Dataset, zero-shuffle plan."""
+    auto_conc, auto_cpus, auto_bs = _pool_sizing(ocr_burn, ocr_latency_ms)
+    if concurrency is None:
+        concurrency = auto_conc
+    if num_cpus is None:
+        num_cpus = auto_cpus
+    if batch_size is None:
+        batch_size = auto_bs
     return docs.map_batches(
         FusedExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
-        fn_constructor_kwargs={"burn_iters": ocr_burn, "with_stats": with_stats},
+        num_cpus=num_cpus,
+        fn_constructor_kwargs={
+            "burn_iters": ocr_burn,
+            "latency_ms": ocr_latency_ms,
+            "with_stats": with_stats,
+        },
     )
+
+
+def choose_plan(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
+                skew_threshold_s: float = 5.0, sample_docs: int = 512) -> str:
+    """Pick the physical plan from a bounded skew probe.
+
+    The skew unit of the fused plan is a whole document; its worst case
+    is one doc monopolizing an actor for ``max_media_spans x per-span
+    cost``.  Probe the first ``sample_docs`` documents (1-2 input
+    blocks, re-read by the main run — bounded cost at any corpus size),
+    estimate that worst case, and fall back to the canonical
+    salted-split plan when it exceeds ``skew_threshold_s``.  A sample
+    can miss rare pathological docs: callers that KNOW their corpus is
+    heavy-tailed should force ``plan='canonical'`` (the guaranteed-
+    bounded plan); the probe is a default, not a proof.
+    """
+    import pyarrow.compute as pc
+
+    per_span_ms = ocr_latency_ms + ocr_burn * _BURN_MS_PER_ITER
+    if per_span_ms <= 0:
+        return "fused"
+    sample = docs.limit(sample_docs).take_batch(sample_docs, batch_format="pyarrow")
+    spans = sample["spans"]
+    kinds = pc.struct_field(pc.list_flatten(spans), "kind")
+    # per-doc media counts: segment the flattened kind array by offsets
+    import numpy as np
+
+    lengths = np.asarray(pc.list_value_length(spans))
+    is_media = np.asarray(pc.equal(kinds, "media"))
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    csum = np.concatenate([[0], np.cumsum(is_media.astype(np.int64))])
+    media_per_doc = csum[ends] - csum[starts]
+    worst_s = float(media_per_doc.max(initial=0)) * per_span_ms / 1e3
+    return "canonical" if worst_s > skew_threshold_s else "fused"
+
+
+def auto_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
+                  with_stats: bool = False, plan: str | None = None, **kw):
+    """The engine's default: probe skew, then run the fused
+    (zero-shuffle) plan for bounded-skew corpora or the canonical
+    salted-split plan for heavy-tailed ones.  Returns (plan_name, ds)."""
+    if plan is None:
+        plan = choose_plan(docs, ocr_burn=ocr_burn, ocr_latency_ms=ocr_latency_ms)
+    if plan == "fused":
+        out = fused_pipeline(docs, ocr_burn=ocr_burn,
+                             ocr_latency_ms=ocr_latency_ms,
+                             with_stats=with_stats, **kw)
+    else:
+        out = extract_pipeline(docs, ocr_burn=ocr_burn,
+                               ocr_latency_ms=ocr_latency_ms,
+                               with_stats=with_stats, **kw)
+    return plan, out
 
 
 def summary_table(extracted_with_stats):

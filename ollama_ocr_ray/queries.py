@@ -239,6 +239,104 @@ def q_knn_lsh(sf_dir: str):
     return similarity.lsh_ann(emb, qm, qids, dim=qm.shape[1], k=10)
 
 
+def q_quality_score(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow")
+
+
+def q_order_priority(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
+    return relational.order_priority_counts(ds, "1994-01-01", "1997-01-01")
+
+
+def q_top_suppliers(sf_dir: str):
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    return relational.top_suppliers(li, names, k=10)
+
+
+def q_nation_rollup(sf_dir: str):
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    region_names = dict(zip(region.column("r_regionkey").to_pylist(),
+                            region.column("r_name").to_pylist()))
+    nation_names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                            nation.column("n_name").to_pylist()))
+    region_of = {
+        int(nk): region_names.get(int(rk), "UNKNOWN")
+        for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                          nation.column("n_regionkey").to_pylist())
+    }
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    return relational.nation_customer_rollup(cust, nation_names, region_of)
+
+
+def q_asof_last_order(sf_dir: str):
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+    by_cust = relational.build_orders_by_cust(orders)
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return relational.asof_last_order(ev, by_cust)
+
+
+def q_sessionize(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return relational.sessionize(ev, gap_minutes=30)
+
+
+def q_ngram_dedup(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.ngram_dup_pairs(ds, threshold=0.5)
+
+
+def q_knn_ivf(sf_dir: str):
+    qm, qids = _query_matrix(sf_dir, [0, 1, 2, 3, 4])
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64)
+         for v in t.column("embedding").to_pylist()[:256]]
+    )
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.ivf_ann(emb, qm, qids, sample, k=10, nlist=8, nprobe=4)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthesize a media table from the corpus's
+    media refs, run the feature-extract actor pool (stubbed codec)."""
+    import ray.data as rd
+
+    from .stages.media import media_feature_pipeline, synth_media_table
+
+    refs = [f"media://bench/{i}" for i in range(2000)]
+    media = rd.from_arrow(synth_media_table(refs))
+    feats = media_feature_pipeline(media, batch_size=64, concurrency=(1, 4))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        """Scalar digest of each vector so the driver's sorted-value
+        compare works (list columns don't sort in pandas)."""
+        import hashlib as _h
+
+        col = batch.column("feature").combine_chunks()
+        dim = [len(v) for v in col.to_pylist()]
+        dig = [
+            _h.sha256(np.asarray(v, dtype=np.float32).tobytes()).hexdigest()[:16]
+            for v in col.to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "dim": pa.array(dim, type=pa.int32()),
+                "feature_digest": pa.array(dig, type=pa.string()),
+            }
+        )
+
+    return feats.map_batches(digest, batch_format="pyarrow")
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -254,14 +352,23 @@ def queries() -> dict:
         "events_hourly": q_events_hourly,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dup": q_embedding_near_dup,
+        "quality_score": q_quality_score,
+        "order_priority": q_order_priority,
+        "top_suppliers": q_top_suppliers,
+        "nation_rollup": q_nation_rollup,
+        "asof_last_order": q_asof_last_order,
+        "sessionize": q_sessionize,
         # rows-only (non-SQL-expressible)
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "ngram_dedup": q_ngram_dedup,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "media_features": q_media_features,
     }
 
 
@@ -346,5 +453,84 @@ def oracle_sql() -> dict:
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                     AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                     / greatest(length(text), 1) AS punct_ratio,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','and','of','a','in','to')))
+                        AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1)
+                     AS stop_ratio,
+                   ((CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','and','of','a','in','to')))
+                        AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1)) * 0.5)
+                   + ((CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                        AS DOUBLE)
+                     / greatest(length(text), 1)) * 0.3) AS quality_score
+            FROM documents
+        """,
+        "order_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "top_suppliers": """
+            SELECT l.l_suppkey, s.s_name,
+                   sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*10000
+                       + 0.5) AS BIGINT))/10000.0 AS revenue
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY l.l_suppkey, s.s_name
+            ORDER BY revenue DESC, l.l_suppkey
+            LIMIT 10
+        """,
+        "nation_rollup": """
+            SELECT n.n_name, r.r_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   sum(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT))/100.0
+                     AS total_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name, r.r_name
+        """,
+        "asof_last_order": """
+            SELECT e.event_id, e.user_id,
+                   o.o_orderdate AS last_order_date
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "sessionize": """
+            WITH d AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
+                     AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
     }

@@ -64,20 +64,28 @@ def list_input_files(input_path: str) -> list[str]:
     )
 
 
-def read_documents(input_path: str, *, validate: bool = True):
+def read_documents(input_path: str, *, validate: bool = True,
+                   override_num_blocks: int | None = None):
     """documents table → ray.data.Dataset (schema-validated at ingest,
     replacing the reference's per-file ``_validate_file`` checks,
-    ``ollama_cloud_ocr.py:96-103``)."""
-    return read_documents_files(list_input_files(input_path), validate=validate)
+    ``ollama_cloud_ocr.py:96-103``).
+
+    ``override_num_blocks`` controls task granularity downstream: the
+    map-stage task unit is the input block, so ~200-doc blocks keep an
+    actor pool load-balanced (a barrier-free alternative to
+    ``repartition``, which would block the stream)."""
+    return read_documents_files(list_input_files(input_path), validate=validate,
+                                override_num_blocks=override_num_blocks)
 
 
-def read_documents_files(files: list[str], *, validate: bool = True):
+def read_documents_files(files: list[str], *, validate: bool = True,
+                         override_num_blocks: int | None = None):
     import ray.data as rd
 
     if _has_lance() and files and files[0].endswith(".lance"):
         ds = rd.read_lance(files[0])
     else:
-        ds = rd.read_parquet(files)
+        ds = rd.read_parquet(files, override_num_blocks=override_num_blocks)
     if validate:
         import pyarrow as pa
 

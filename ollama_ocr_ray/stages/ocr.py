@@ -9,12 +9,19 @@ whole Arrow batch — wired as
 batch_format='pyarrow')``.
 
 The sandbox has no vision model, so the "model" is the deterministic
-transcription contract of ``spec.mock_transcript`` plus a configurable
-CPU burn per media span that stands in for inference cost (keeps the
-bench compute-bound, mirroring the determinism knobs of
-``ollama_local_ocr.py:143-144``).  Corrupt media become inline error
-spans and processing continues — the per-page error semantics of
-``ocr_router.py:296-298``.
+transcription contract of ``spec.mock_transcript`` plus two
+configurable inference-cost knobs (mirroring the determinism knobs of
+``ollama_local_ocr.py:143-144``):
+
+- ``burn_iters``: CPU hash iterations per media span — a compute-bound
+  stand-in (in-process model like TrOCR, ``ocr_router.py:31-46``);
+- ``latency_ms``: wall latency per media span, charged as ONE batched
+  sleep per call — a latency-bound stand-in (GPU / remote inference
+  like the Ollama API path, whose 30-60s/image cost is service
+  latency, not local CPU: ``ollama_local_ocr.py:202``).
+
+Corrupt media become inline error spans and processing continues — the
+per-page error semantics of ``ocr_router.py:296-298``.
 
 Adds an ``ocr_ms`` column (per-row amortized batch OCR latency) consumed
 by the lineage/metrics sink.
@@ -34,20 +41,29 @@ from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript
 class OcrModel:
     """Callable-class stage: __init__ once per actor, __call__ per batch."""
 
-    def __init__(self, burn_iters: int = 0, stamp_batches: bool = False):
+    def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
+                 stamp_batches: bool = False):
         # "load the model": in the real engine this is where weights land
         # on the device; here we pre-touch the transcription vocab and
-        # keep the burn knob.
+        # keep the cost knobs.
         self.burn_iters = int(burn_iters)
+        self.latency_ms = float(latency_ms)
         self.stamp_batches = stamp_batches  # test hook: tag rows with call id
         self._calls = 0
         self._warm = mock_transcript("media://warmup/0")
 
     def _burn(self, ref: str) -> None:
-        # deterministic stand-in for per-span inference cost
+        # deterministic stand-in for per-span compute cost
         h = ref.encode()
         for _ in range(self.burn_iters):
             h = hashlib.sha256(h).digest()
+
+    def simulate_latency(self, n_media: int) -> None:
+        """One batched sleep modeling inference latency for n_media spans
+        (batched inference amortizes per-call overhead; per-span cost is
+        what scales)."""
+        if self.latency_ms > 0.0 and n_media > 0:
+            time.sleep(self.latency_ms * n_media / 1e3)
 
     def _stamp(self, t: pa.Table) -> pa.Table:
         if not self.stamp_batches:
@@ -72,6 +88,7 @@ class OcrModel:
         texts = batch.column("text").to_pylist()
         kinds = kind.tolist()
         media_idx = np.nonzero(is_media)[0]
+        self.simulate_latency(len(media_idx))
         for i in media_idx:
             ref = refs[i]
             if ref.endswith(CORRUPT_SUFFIX):
