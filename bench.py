@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "160000"))
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "240000"))
 SCALE_DOCS_PER_BLOCK = 200  # ~1.6s of OCR latency per task: balanced pool
 # Mock inference cost: latency-bound by default (real OCR is GPU/remote
 # inference latency — ollama_local_ocr.py:202's 30-60s/image is service

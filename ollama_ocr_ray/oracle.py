@@ -26,6 +26,7 @@ from .spec import (
     VOID_TAGS,
     collapse_ws,
     mock_transcript,
+    mode_transcript,
     unsupported_text,
 )
 
@@ -152,8 +153,12 @@ def extract_pdf(payload: str) -> list[str]:
 
 
 # --- per-document extraction ----------------------------------------------
-def extract_document(doc: dict) -> dict:
-    """documents row → extracted row (the span-equality contract)."""
+def extract_document(doc: dict, policy: str = "text") -> dict:
+    """documents row → extracted row (the span-equality contract).
+
+    ``policy`` mirrors the reference's --mode dispatch (R4,
+    ``ollama_cloud_ocr.py:744-788``); 'multi' fans a media span into
+    three ordered sub-spans (R9)."""
     out = []
     for span in sorted(doc["spans"], key=lambda s: s["offset"]):
         kind = span["kind"]
@@ -172,7 +177,8 @@ def extract_document(doc: dict) -> dict:
             if ref.endswith(CORRUPT_SUFFIX):
                 out.append(("error", ERROR_TEXT, ref))
             else:
-                out.append(("ocr", mock_transcript(ref), ref))
+                for t in mode_transcript(ref, policy):
+                    out.append(("ocr", t, ref))
         else:
             out.append(("error", unsupported_text(kind), span["media_ref"]))
     return {
@@ -184,11 +190,11 @@ def extract_document(doc: dict) -> dict:
     }
 
 
-def extract_corpus(table) -> dict[str, list[tuple]]:
+def extract_corpus(table, policy: str = "text") -> dict[str, list[tuple]]:
     """pa.Table (documents) → {doc_id: [(kind, text, media_ref, order)]}"""
     result = {}
     for doc in table.to_pylist():
-        row = extract_document(doc)
+        row = extract_document(doc, policy)
         result[row["doc_id"]] = [
             (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
         ]

@@ -24,7 +24,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..schema import EXTRACTED_SCHEMA, SUMMARY_SCHEMA
-from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript, unsupported_text
+from ..spec import (CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript,
+                    mode_transcript, unsupported_text)
 from ..stages.explode import explode_batch
 from ..stages.extract import extract_batch
 from ..stages.html_extract import extract_html_stage
@@ -78,6 +79,7 @@ def extract_pipeline(
     ocr_batch_size: int = 512,
     ocr_concurrency=None,
     ocr_num_cpus=None,
+    policy: str = "text",
     with_stats: bool = False,
 ):
     """documents Dataset → extracted Dataset (EXTRACTED_SCHEMA [+stats]).
@@ -103,6 +105,7 @@ def extract_pipeline(
             fn_constructor_kwargs={
                 "burn_iters": ocr_burn,
                 "latency_ms": ocr_latency_ms,
+                "policy": policy,
             },
         )
     )
@@ -123,8 +126,10 @@ class FusedExtractor:
     """
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
-                 with_stats: bool = False):
-        self._ocr = OcrModel(burn_iters=burn_iters, latency_ms=latency_ms)
+                 policy: str = "text", with_stats: bool = False):
+        self._ocr = OcrModel(burn_iters=burn_iters, latency_ms=latency_ms,
+                             policy=policy)
+        self.policy = policy
         self.with_stats = with_stats
 
     def _extract_doc(self, spans: list[dict]) -> tuple[list[dict], int]:
@@ -147,7 +152,10 @@ class FusedExtractor:
                 else:
                     self._ocr._burn(ref)
                     n_media += 1
-                    out.append(("ocr", mock_transcript(ref), ref))
+                    out.extend(
+                        ("ocr", t, ref)
+                        for t in mode_transcript(ref, self.policy)
+                    )
             else:
                 out.append(("error", unsupported_text(kind), s["media_ref"]))
         return [
@@ -182,7 +190,8 @@ class FusedExtractor:
 
 def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
                    batch_size: int | None = None, concurrency=None,
-                   num_cpus=None, with_stats: bool = False):
+                   num_cpus=None, policy: str = "text",
+                   with_stats: bool = False):
     """documents Dataset → extracted Dataset, zero-shuffle plan."""
     auto_conc, auto_cpus, auto_bs = _pool_sizing(ocr_burn, ocr_latency_ms)
     if concurrency is None:
@@ -201,6 +210,7 @@ def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
         fn_constructor_kwargs={
             "burn_iters": ocr_burn,
             "latency_ms": ocr_latency_ms,
+            "policy": policy,
             "with_stats": with_stats,
         },
     )

@@ -210,6 +210,27 @@ def _spans_digest(batch: pa.Table) -> pa.Table:
     )
 
 
+def q_extract_multi(sf_dir: str):
+    """Mode-dispatch parity (R4/R9): the 'multi' policy fans each media
+    span into 3 ordered sub-spans (description / text / objects)."""
+    from .pipelines.extract import fused_pipeline
+
+    docs = _read_corpus(sf_dir)
+    return fused_pipeline(docs, policy="multi").map_batches(
+        _spans_digest, batch_format="pyarrow"
+    )
+
+
+def q_extract_structured(sf_dir: str):
+    """Structured-extraction parity (R7): receipt-schema JSON spans."""
+    from .pipelines.extract import fused_pipeline
+
+    docs = _read_corpus(sf_dir)
+    return fused_pipeline(docs, policy="structured").map_batches(
+        _spans_digest, batch_format="pyarrow"
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.minhash_dup_pairs(ds, threshold=0.8)
@@ -361,6 +382,8 @@ def queries() -> dict:
         # rows-only (non-SQL-expressible)
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
+        "extract_multi": q_extract_multi,
+        "extract_structured": q_extract_structured,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_dedup": q_ngram_dedup,

@@ -112,3 +112,101 @@ def mock_transcript(media_ref: str) -> str:
 def collapse_ws(s: str) -> str:
     """Whitespace-collapse: split on any whitespace run, join with ' '."""
     return " ".join(s.split())
+
+
+# --- extraction policies (mode dispatch, R4-R9) ------------------------------
+# The reference's --mode surface: text / handwriting / structured /
+# document / multi (``ollama_cloud_ocr.py:692-695,744-788``).  Each mode
+# maps a media span to an ordered list of output texts; ``multi`` is the
+# 3-step fan-out of ``multi_step_analysis`` (``ollama_cloud_ocr.py:
+# 541-599``).  Deterministic contract: pure function of (mode, media_ref),
+# domain-separated digests.  User extension point: ``register_policy``
+# (the typed analog of adding a prompt to the prompts dict,
+# ``ollama_cloud_ocr.py:401-414``).
+
+POLICY_MODES = ("text", "handwriting", "structured", "document", "multi")
+
+
+def _mode_words(media_ref: str, domain: str, n: int) -> list[str]:
+    digest = hashlib.sha256(f"{domain}:{media_ref}".encode("utf-8")).digest()
+    return [_VOCAB[b % len(_VOCAB)] for b in digest[:n]]
+
+
+def _handwriting_transcript(media_ref: str) -> list[str]:
+    return [" ".join(_mode_words(media_ref, "handwriting", 10))]
+
+
+def _structured_payload(media_ref: str) -> list[str]:
+    """JSON record mirroring the receipt schema of
+    ``ollama_cloud_ocr.py:401-414``; emitted as text (the reference never
+    parses it back)."""
+    import json
+
+    d = hashlib.sha256(f"structured:{media_ref}".encode("utf-8")).digest()
+    items = [
+        {
+            "name": _VOCAB[d[4 + 2 * i] % len(_VOCAB)],
+            "price": round((d[5 + 2 * i] + 1) / 4.0, 2),
+            "quantity": 1 + d[10 + i] % 3,
+        }
+        for i in range(1 + d[3] % 3)
+    ]
+    obj = {
+        "store_name": " ".join(_mode_words(media_ref, "store", 2)),
+        "total_amount": round(sum(i["price"] * i["quantity"] for i in items), 2),
+        "date": f"20{20 + d[0] % 6}-{1 + d[1] % 12:02d}-{1 + d[2] % 28:02d}",
+        "items": items,
+    }
+    return [json.dumps(obj, separators=(", ", ": "))]
+
+
+def _document_analysis(media_ref: str) -> list[str]:
+    ws = _mode_words(media_ref, "analysis", 24)
+    return [
+        "Document Analysis: "
+        + " ".join(ws[:8]) + ". " + " ".join(ws[8:16]) + ". "
+        + " ".join(ws[16:24]) + "."
+    ]
+
+
+def _multi_step(media_ref: str) -> list[str]:
+    """Three ordered spans per media span — description, text
+    extraction, objects — the per-step result dict of
+    ``ollama_cloud_ocr.py:541-599`` as ordered sub-spans."""
+    return [
+        "[description] " + " ".join(_mode_words(media_ref, "describe", 8)),
+        "[text] " + mock_transcript(media_ref),
+        "[objects] " + ", ".join(_mode_words(media_ref, "objects", 5)),
+    ]
+
+
+_POLICIES = {
+    "text": lambda ref: [mock_transcript(ref)],
+    "handwriting": _handwriting_transcript,
+    "structured": _structured_payload,
+    "document": _document_analysis,
+    "multi": _multi_step,
+}
+
+
+def register_policy(mode: str, fn) -> None:
+    """Register a named extraction policy (mode → callable(media_ref) ->
+    ordered list of output texts) in THIS process.  Driver-side
+    registration does NOT reach Ray worker processes — for custom
+    policies in a pipeline, pass the callable itself as ``policy=``
+    (it is serialized to the actors); names are for built-ins and for
+    policies registered in a module that workers import."""
+    _POLICIES[mode] = fn
+
+
+def mode_transcript(media_ref: str, mode="text") -> list[str]:
+    """Ordered output texts for one (non-corrupt) media span under a
+    policy.  ``mode`` is a built-in/registered name or a callable
+    (the distributed-safe extension path).  Unknown name → inline
+    error span semantics."""
+    if callable(mode):
+        return mode(media_ref)
+    fn = _POLICIES.get(mode)
+    if fn is None:
+        return [f"[Error processing page: unknown extraction mode: {mode}]"]
+    return fn(media_ref)

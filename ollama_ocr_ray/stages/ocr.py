@@ -35,19 +35,23 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript
+from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript, mode_transcript
 
 
 class OcrModel:
     """Callable-class stage: __init__ once per actor, __call__ per batch."""
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
-                 stamp_batches: bool = False):
+                 policy: str = "text", stamp_batches: bool = False):
         # "load the model": in the real engine this is where weights land
         # on the device; here we pre-touch the transcription vocab and
-        # keep the cost knobs.
+        # keep the cost knobs.  ``policy`` is the mode dispatch of the
+        # reference's --mode flag (R4, ``ollama_cloud_ocr.py:744-788``);
+        # the 'multi' policy fans each media span into ordered sub-spans
+        # (R9) — sub indices keep reassembly exact.
         self.burn_iters = int(burn_iters)
         self.latency_ms = float(latency_ms)
+        self.policy = policy
         self.stamp_batches = stamp_batches  # test hook: tag rows with call id
         self._calls = 0
         self._warm = mock_transcript("media://warmup/0")
@@ -89,29 +93,72 @@ class OcrModel:
         kinds = kind.tolist()
         media_idx = np.nonzero(is_media)[0]
         self.simulate_latency(len(media_idx))
-        for i in media_idx:
+        if self.policy == "text":
+            # fast path: exactly one output per media span, in place
+            for i in media_idx:
+                ref = refs[i]
+                if ref.endswith(CORRUPT_SUFFIX):
+                    kinds[i] = "error"
+                    texts[i] = ERROR_TEXT
+                else:
+                    self._burn(ref)
+                    kinds[i] = "ocr"
+                    texts[i] = mock_transcript(ref)
+            elapsed_ms = (time.perf_counter() - t0) * 1e3
+            per_row = elapsed_ms / len(media_idx)
+            ocr_ms = np.zeros(n)
+            ocr_ms[media_idx] = per_row
+            return self._stamp(
+                pa.table(
+                    {
+                        "doc_id": batch.column("doc_id"),
+                        "offset": batch.column("offset"),
+                        "sub": batch.column("sub"),
+                        "kind": pa.array(kinds, type=pa.string()),
+                        "text": pa.array(texts, type=pa.string()),
+                        "media_ref": batch.column("media_ref"),
+                        "ocr_ms": pa.array(ocr_ms, type=pa.float64()),
+                    }
+                )
+            )
+        # policy path: a media span may fan into ordered sub-spans (R9)
+        docs = batch.column("doc_id").to_pylist()
+        offs = batch.column("offset").to_pylist()
+        subs = batch.column("sub").to_pylist()
+        is_media_l = is_media.tolist()
+        o_doc, o_off, o_sub, o_kind, o_text, o_ref, o_ms = (
+            [], [], [], [], [], [], []
+        )
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        per_row = elapsed_ms / max(1, len(media_idx))
+        for i in range(n):
+            if not is_media_l[i]:
+                o_doc.append(docs[i]); o_off.append(offs[i])
+                o_sub.append(subs[i]); o_kind.append(kinds[i])
+                o_text.append(texts[i]); o_ref.append(refs[i])
+                o_ms.append(0.0)
+                continue
             ref = refs[i]
             if ref.endswith(CORRUPT_SUFFIX):
-                kinds[i] = "error"
-                texts[i] = ERROR_TEXT
+                outs = [("error", ERROR_TEXT)]
             else:
                 self._burn(ref)
-                kinds[i] = "ocr"
-                texts[i] = mock_transcript(ref)
-        elapsed_ms = (time.perf_counter() - t0) * 1e3
-        per_row = elapsed_ms / len(media_idx)
-        ocr_ms = np.zeros(n)
-        ocr_ms[media_idx] = per_row
+                outs = [("ocr", t) for t in mode_transcript(ref, self.policy)]
+            for j, (k, t) in enumerate(outs):
+                o_doc.append(docs[i]); o_off.append(offs[i])
+                o_sub.append(j); o_kind.append(k)
+                o_text.append(t); o_ref.append(ref)
+                o_ms.append(per_row)
         return self._stamp(
             pa.table(
                 {
-                    "doc_id": batch.column("doc_id"),
-                    "offset": batch.column("offset"),
-                    "sub": batch.column("sub"),
-                    "kind": pa.array(kinds, type=pa.string()),
-                    "text": pa.array(texts, type=pa.string()),
-                    "media_ref": batch.column("media_ref"),
-                    "ocr_ms": pa.array(ocr_ms, type=pa.float64()),
+                    "doc_id": pa.array(o_doc, type=pa.string()),
+                    "offset": pa.array(o_off, type=pa.int32()),
+                    "sub": pa.array(o_sub, type=pa.int32()),
+                    "kind": pa.array(o_kind, type=pa.string()),
+                    "text": pa.array(o_text, type=pa.string()),
+                    "media_ref": pa.array(o_ref, type=pa.string()),
+                    "ocr_ms": pa.array(o_ms, type=pa.float64()),
                 }
             )
         )
