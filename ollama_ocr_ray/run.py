@@ -19,9 +19,15 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--input", required=True, help="documents table dir/file")
     ap.add_argument("--output", required=True, help="output dir (resumable)")
-    ap.add_argument("--plan", choices=["canonical", "fused"], default="canonical")
+    ap.add_argument("--plan", choices=["auto", "canonical", "fused"],
+                    default="auto")
+    ap.add_argument("--policy", default="text",
+                    help="extraction policy: text|handwriting|structured|"
+                         "document|multi (reference --mode dispatch)")
     ap.add_argument("--ocr-burn", type=int, default=0,
                     help="simulated per-media-span inference cost (hash iters)")
+    ap.add_argument("--ocr-latency-ms", type=float, default=0.0,
+                    help="simulated per-media-span inference latency")
     ap.add_argument("--ocr-batch-size", type=int, default=512)
     ap.add_argument("--ocr-concurrency", type=int, default=8)
     ap.add_argument("--wave", type=int, default=4,
@@ -52,7 +58,9 @@ def main(argv=None) -> int:
             args.input,
             args.output,
             plan=args.plan,
+            policy=args.policy,
             ocr_burn=args.ocr_burn,
+            ocr_latency_ms=args.ocr_latency_ms,
             ocr_batch_size=args.ocr_batch_size,
             ocr_concurrency=(1, args.ocr_concurrency),
             wave=args.wave,

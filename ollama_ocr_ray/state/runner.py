@@ -51,20 +51,25 @@ def _run_partition(
     *,
     plan: str,
     ocr_burn: int,
+    ocr_latency_ms: float,
     ocr_batch_size: int,
     ocr_concurrency,
+    policy,
 ) -> dict:
     ds = read_documents_files([input_file])
     if plan == "fused":
         out = fused_pipeline(
-            ds, ocr_burn=ocr_burn, concurrency=ocr_concurrency, with_stats=True
+            ds, ocr_burn=ocr_burn, ocr_latency_ms=ocr_latency_ms,
+            concurrency=ocr_concurrency, policy=policy, with_stats=True
         )
     else:
         out = extract_pipeline(
             ds,
             ocr_burn=ocr_burn,
+            ocr_latency_ms=ocr_latency_ms,
             ocr_batch_size=ocr_batch_size,
             ocr_concurrency=ocr_concurrency,
+            policy=policy,
             with_stats=True,
         )
     part_dir = manifest.part_dir(pid)
@@ -90,8 +95,10 @@ def run_extract(
     *,
     plan: str = "canonical",
     ocr_burn: int = 0,
+    ocr_latency_ms: float = 0.0,
     ocr_batch_size: int = 512,
     ocr_concurrency=(1, 8),
+    policy="text",
     wave: int = 4,
     max_partitions: int | None = None,
 ) -> dict:
@@ -115,11 +122,19 @@ def run_extract(
             pending.append((pid, f))
     if max_partitions is not None:
         pending = pending[:max_partitions]
+    if plan == "auto":
+        from ..pipelines.extract import choose_plan
+
+        probe = read_documents_files([files[0]])
+        plan = choose_plan(probe, ocr_burn=ocr_burn,
+                           ocr_latency_ms=ocr_latency_ms)
     kwargs = dict(
         plan=plan,
         ocr_burn=ocr_burn,
+        ocr_latency_ms=ocr_latency_ms,
         ocr_batch_size=ocr_batch_size,
         ocr_concurrency=ocr_concurrency,
+        policy=policy,
     )
     done = []
     if pending:
@@ -136,5 +151,6 @@ def run_extract(
         "docs": sum(r["docs"] for r in done),
         "spans_out": sum(r["spans_out"] for r in done),
         "errors": sum(r["errors"] for r in done),
+        "plan": plan,
         "output_dir": output_dir,
     }
