@@ -164,14 +164,18 @@ def q_extract_canonical(sf_dir: str):
     from .sources.io import read_documents
 
     docs = read_documents(_corpus_path(sf_dir))
-    return summary_table(extract_pipeline(docs, with_stats=True))
+    # test-scale corpora (<=2k docs): a small fixed pool beats spinning
+    # the full 2-actors-per-CPU fleet (~5s spin for an 8s query)
+    return summary_table(
+        extract_pipeline(docs, with_stats=True, ocr_concurrency=(4, 8))
+    )
 
 
 def q_extract_fused(sf_dir: str):
     from .pipelines.extract import fused_pipeline
 
     docs = _read_corpus(sf_dir)
-    return fused_pipeline(docs).map_batches(
+    return fused_pipeline(docs, concurrency=(4, 8)).map_batches(
         _spans_digest, batch_format="pyarrow"
     )
 
@@ -216,7 +220,8 @@ def q_extract_multi(sf_dir: str):
     from .pipelines.extract import fused_pipeline
 
     docs = _read_corpus(sf_dir)
-    return fused_pipeline(docs, policy="multi").map_batches(
+    return fused_pipeline(docs, policy="multi",
+                          concurrency=(4, 8)).map_batches(
         _spans_digest, batch_format="pyarrow"
     )
 
@@ -226,7 +231,8 @@ def q_extract_structured(sf_dir: str):
     from .pipelines.extract import fused_pipeline
 
     docs = _read_corpus(sf_dir)
-    return fused_pipeline(docs, policy="structured").map_batches(
+    return fused_pipeline(docs, policy="structured",
+                          concurrency=(4, 8)).map_batches(
         _spans_digest, batch_format="pyarrow"
     )
 

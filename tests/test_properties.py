@@ -1,0 +1,88 @@
+"""Property-based tests (SURVEY.md §5.2.5): random corpus shapes and
+seeds; invariants that must hold for ANY input, not just the fixtures.
+
+Hypothesis drives the corpus parameters; the pipeline under test is the
+fused plan (fast, zero-shuffle) plus targeted canonical-plan runs — the
+per-policy three-way equality is covered in test_policies.py.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings, strategies as st
+
+from ollama_ocr_ray import oracle, synth
+from ollama_ocr_ray.oracle import extract_document
+from ollama_ocr_ray.pipelines.extract import FusedExtractor
+from ollama_ocr_ray.stages.explode import explode_batch
+from ollama_ocr_ray.stages.extract import extract_batch
+from ollama_ocr_ray.stages.ocr import OcrModel
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 40))
+def test_fused_matches_oracle_any_seed(seed, n):
+    """Single-process stage parity across arbitrary corpora: the fused
+    extractor's output equals the oracle for every (seed, size)."""
+    table = synth.gen_table(n, seed=seed)
+    got = FusedExtractor()(table).to_pylist()
+    for row in got:
+        want = extract_document(
+            next(d for d in table.to_pylist() if d["doc_id"] == row["doc_id"])
+        )
+        assert row["spans"] == want["spans"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 40))
+def test_invariants_any_seed(seed, n):
+    """Structural invariants: no doc lost or duplicated; span order is
+    dense 0-based strictly increasing; error spans only from corrupt
+    media or unknown kinds; media_ref preserved on ocr/error spans."""
+    table = synth.gen_table(n, seed=seed)
+    out = FusedExtractor()(table).to_pylist()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        table.column("doc_id").to_pylist()
+    )
+    for r in out:
+        orders = [s["order"] for s in r["spans"]]
+        assert orders == list(range(len(orders)))
+        for s in r["spans"]:
+            assert s["kind"] in ("text", "ocr", "error")
+            if s["kind"] == "ocr":
+                assert s["media_ref"].startswith("media://")
+            if s["kind"] == "text":
+                assert s["media_ref"] == ""
+                assert s["text"] == s["text"].strip() != ""
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 30))
+def test_explode_extract_preserves_counts(seed, n):
+    """The exploded path (canonical plan stages, single-process) keeps:
+    one sentinel per doc, every non-empty text span, and exactly one OCR
+    output row per media span under the default policy."""
+    table = synth.gen_table(n, seed=seed)
+    exploded = explode_batch(table)
+    flat = pc.list_flatten(table.column("spans")).combine_chunks()
+    n_spans = len(flat)
+    assert exploded.num_rows == n_spans + n  # + sentinel per doc
+    extracted = extract_batch(exploded)
+    ocrd = OcrModel()(extracted)
+    kinds = np.asarray(flat.field("kind"))
+    n_media = int((kinds == "media").sum())
+    out_kinds = np.asarray(ocrd.column("kind"))
+    assert int(((out_kinds == "ocr") | (out_kinds == "error")).sum()) == n_media
+    # ocr_ms column present and non-negative
+    assert float(pc.min(ocrd.column("ocr_ms")).as_py() or 0.0) >= 0.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_generation_is_order_independent(seed):
+    """make_doc is a pure function of (seed, index): generating a slice
+    directly equals slicing a larger generation (the distributed
+    synthesizer relies on this)."""
+    whole = synth.gen_table(12, seed=seed)
+    part = synth.gen_table(4, seed=seed, start=5)
+    assert whole.slice(5, 4).equals(part)
