@@ -80,6 +80,7 @@ def extract_pipeline(
     ocr_concurrency=None,
     ocr_num_cpus=None,
     policy: str = "text",
+    offset_range=None,
     with_stats: bool = False,
 ):
     """documents Dataset → extracted Dataset (EXTRACTED_SCHEMA [+stats]).
@@ -93,7 +94,9 @@ def extract_pipeline(
     if ocr_num_cpus is None:
         ocr_num_cpus = auto_cpus
     spans = (
-        docs.map_batches(explode_batch, batch_format="pyarrow", zero_copy_batch=True)
+        docs.map_batches(explode_batch, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         fn_kwargs={"offset_range": offset_range})
         .map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(
             OcrModel,
@@ -296,3 +299,18 @@ def render_compat_text(spans: list[dict]) -> str:
         for s in sorted(spans, key=lambda s: s["order"])
     ]
     return "".join(parts).strip()
+
+
+def corpus_summary(extracted_with_stats):
+    """Global batch totals (G3, ``ollama_local_ocr.py:397-427``): one-row
+    aggregate over the per-document stats — docs, spans, chars, errors,
+    mean OCR ms — via Dataset.aggregate (tiny exchange)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    return extracted_with_stats.aggregate(
+        Count(alias_name="docs"),
+        Sum("n_spans", alias_name="spans"),
+        Sum("chars", alias_name="chars"),
+        Sum("n_errors", alias_name="errors"),
+        Mean("ocr_ms", alias_name="mean_ocr_ms"),
+    )

@@ -95,3 +95,15 @@ def read_documents_files(files: list[str], *, validate: bool = True,
 
         ds = ds.map_batches(_check, batch_format="pyarrow", zero_copy_batch=True)
     return ds
+
+
+def write_extracted(ds, output_dir: str) -> None:
+    """extracted table → storage (Lance when importable, else partitioned
+    Parquet) — the write side of the adapter.  One file per block keeps
+    output partition-aligned and resumable (never one giant file); the
+    checkpointed path is ``state.runner`` which commits per input
+    partition."""
+    if _has_lance():
+        ds.write_lance(output_dir)
+    else:
+        ds.write_parquet(output_dir)

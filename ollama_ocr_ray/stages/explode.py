@@ -31,7 +31,11 @@ EXPLODED_SCHEMA = pa.schema(
 )
 
 
-def explode_batch(batch: pa.Table) -> pa.Table:
+def explode_batch(batch: pa.Table, offset_range=None) -> pa.Table:
+    """``offset_range=(lo, hi)`` keeps only spans with lo <= offset < hi —
+    the span-level analog of the reference's --page N selection
+    (``ollama_cloud_ocr.py:689-690,722-731``), applied as a vectorized
+    predicate before any extraction work (predicate pushdown, O3)."""
     batch = batch.combine_chunks()
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
@@ -51,6 +55,15 @@ def explode_batch(batch: pa.Table) -> pa.Table:
             "media_ref": flat.field("media_ref"),
         }
     ).cast(EXPLODED_SCHEMA)
+    if offset_range is not None:
+        lo, hi = offset_range
+        off = exploded.column("offset")
+        import pyarrow.compute as pc
+
+        exploded = exploded.filter(
+            pc.and_(pc.greater_equal(off, pa.scalar(lo, type=pa.int32())),
+                    pc.less(off, pa.scalar(hi, type=pa.int32())))
+        )
     sentinels = pa.table(
         {
             "doc_id": doc_ids,

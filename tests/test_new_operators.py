@@ -216,3 +216,49 @@ def test_quality_score_values():
     # 'the' twice of 4 tokens
     assert out[0]["stop_ratio"] == 0.5
     assert out[1]["n_chars"] == 0 and out[1]["quality_score"] == 0.0
+
+
+# --- O3: span-offset predicate pushdown -------------------------------------
+
+
+def test_offset_range_selection(ray_session):
+    """--page N analog: restrict extraction to an offset window; docs
+    remain present (sentinel) even when all their spans fall outside."""
+    import ray.data as rd
+
+    from ollama_ocr_ray import synth
+    from ollama_ocr_ray.oracle import extract_document
+    from ollama_ocr_ray.pipelines.extract import extract_pipeline
+
+    table = synth.gen_table(30, seed=4)
+    out = extract_pipeline(rd.from_arrow(table), offset_range=(0, 1),
+                           ocr_concurrency=(1, 2))
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"])
+                      for s in r["spans"]]
+        for r in __import__("pyarrow").concat_tables(
+            list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        ).to_pylist()
+    }
+    assert set(got) == set(table.column("doc_id").to_pylist())
+    for doc in table.to_pylist():
+        doc0 = dict(doc, spans=[s for s in doc["spans"] if s["offset"] < 1])
+        want = extract_document(doc0)
+        assert got[doc["doc_id"]] == [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in want["spans"]
+        ]
+
+
+def test_corpus_summary_aggregate(ray_session):
+    import ray.data as rd
+
+    from ollama_ocr_ray import synth
+    from ollama_ocr_ray.pipelines.extract import corpus_summary, fused_pipeline
+
+    table = synth.gen_table(25, seed=2)
+    stats = fused_pipeline(rd.from_arrow(table), with_stats=True,
+                           concurrency=(1, 2))
+    row = corpus_summary(stats)
+    assert row["docs"] == 25
+    assert row["spans"] > 0 and row["chars"] > 0
