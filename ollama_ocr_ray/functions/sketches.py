@@ -1,0 +1,98 @@
+"""Sketch aggregates: HyperLogLog approximate distinct counting.
+
+The exact distinct-user path in ``relational.events_hourly`` shuffles
+(key, user) rows — right at test sizes, quadratic pain at 100 TB.  The
+scale path is a mergeable sketch: per-batch HLL registers are the ONLY
+thing that crosses the exchange (2^p bytes per group per batch,
+independent of cardinality), merged by elementwise max, estimated once
+at the end.  Classic Flajolet-Martin/HLL with the standard bias
+correction; p=12 → ~1.6% standard error in 4 KiB per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64(arr: np.ndarray) -> np.ndarray:
+    """Cheap 64-bit mix (splitmix64) of an int64/uint64 key array —
+    vectorized, deterministic across processes."""
+    x = arr.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """uint8[2^p] register array for one group of int64 values."""
+    m = 1 << p
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # low bits padded with ones so the value is never 0 and the rank is
+    # naturally capped at 64-p+1
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # leading-zero count via float log2 (rest != 0 by construction; the
+    # float64 mantissa cannot misplace the MSB position)
+    lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+    lz = np.maximum(lz, 0)  # log2 of values near 2^64 can round to 64
+    rank = (lz + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate with small-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, key_col: str, value_col: str, p: int = 12):
+    """Dataset → (key, approx_distinct) via mergeable HLL partials.
+
+    Per batch: one register array per key (binary column) — the shuffle
+    carries sketches, never values.  Merge: elementwise max inside a
+    small ``map_groups`` over the (tiny) per-key partials.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keys = np.asarray(batch.column(key_col))
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        out_k, out_r = [], []
+        for k in np.unique(keys):
+            out_k.append(k)
+            out_r.append(hll_registers(vals[keys == k], p).tobytes())
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "regs": pa.array(out_r, type=pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for b in group.column("regs").to_pylist():
+            np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "approx_distinct": pa.array(
+                    [hll_estimate(regs)], type=pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

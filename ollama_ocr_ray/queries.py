@@ -266,6 +266,110 @@ def q_knn_lsh(sf_dir: str):
     return similarity.lsh_ann(emb, qm, qids, dim=qm.shape[1], k=10)
 
 
+def q_distinct_lang_source(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="_n")) \
+             .select_columns(["lang", "source"])
+
+
+def q_docs_sample_mod(sf_dir: str):
+    """Deterministic mod-sample: the reproducible corpus-subset operator
+    (hash/mod pushdown filter, vectorized)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array(ids % 7 == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_brand_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        import pyarrow.compute as pc
+
+        cents = pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "cents": pa.array(
+                    np.floor(
+                        batch.column("p_retailprice").to_numpy(
+                            zero_copy_only=False
+                        ) * 100.0 + 0.5
+                    ).astype(np.int64)
+                ),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return cents.group_by("p_brand").aggregate(
+            [("cents", "sum"), ("cents", "min"), ("cents", "max"),
+             ("one", "sum")]
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "p_brand"
+    ).aggregate(
+        Sum("cents_sum", alias_name="cents"),
+        Min("cents_min", alias_name="min_c"),
+        Max("cents_max", alias_name="max_c"),
+        Sum("one_sum", alias_name="n_parts"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        n = batch.column("n_parts").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "n_parts": pa.array(n, type=pa.int64()),
+                "min_price": pa.array(
+                    batch.column("min_c").to_numpy(zero_copy_only=False)
+                    / 100.0
+                ),
+                "max_price": pa.array(
+                    batch.column("max_c").to_numpy(zero_copy_only=False)
+                    / 100.0
+                ),
+                "avg_price": pa.array((cents / 100.0) / n),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_approx_users(sf_dir: str):
+    """HLL approximate distinct users per event_type (rows-only: the
+    estimate is within ~2% of exact; accuracy asserted in tests)."""
+    from .functions.sketches import approx_distinct
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = approx_distinct(ev, "event_type", "user_id", p=12)
+
+    def r(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "approx_users": pc.round(
+                    batch.column("approx_distinct")
+                ).cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(r, batch_format="pyarrow")
+
+
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow")
@@ -379,6 +483,9 @@ def queries() -> dict:
         "events_hourly": q_events_hourly,
         "knn_cosine": q_knn_cosine,
         "embedding_near_dup": q_embedding_near_dup,
+        "distinct_lang_source": q_distinct_lang_source,
+        "docs_sample_mod": q_docs_sample_mod,
+        "brand_stats": q_brand_stats,
         "quality_score": q_quality_score,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
@@ -398,6 +505,7 @@ def queries() -> dict:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "media_features": q_media_features,
+        "approx_users": q_approx_users,
     }
 
 
@@ -482,6 +590,23 @@ def oracle_sql() -> dict:
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "distinct_lang_source": """
+            SELECT DISTINCT lang, source FROM documents
+        """,
+        "docs_sample_mod": """
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
+        """,
+        "brand_stats": """
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   min(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT))/100.0
+                     AS min_price,
+                   max(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT))/100.0
+                     AS max_price,
+                   (sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT))/100.0)
+                     / count(*) AS avg_price
+            FROM part GROUP BY p_brand
         """,
         "quality_score": """
             SELECT doc_id,

@@ -262,3 +262,42 @@ def test_corpus_summary_aggregate(ray_session):
     row = corpus_summary(stats)
     assert row["docs"] == 25
     assert row["spans"] > 0 and row["chars"] > 0
+
+
+# --- HLL sketch -------------------------------------------------------------
+
+
+def test_hll_accuracy_and_merge():
+    from ollama_ocr_ray.functions.sketches import hll_estimate, hll_registers
+
+    vals = (np.arange(20000, dtype=np.int64) * 7919) + 3
+    est = hll_estimate(hll_registers(vals))
+    assert abs(est - 20000) / 20000 < 0.05
+    # mergeability: max of partials == sketch of union
+    a = hll_registers(vals[:12000])
+    b = hll_registers(vals[8000:])
+    assert abs(hll_estimate(np.maximum(a, b)) - est) < 1e-9
+
+
+def test_approx_distinct_vs_exact(ray_session):
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import approx_distinct
+
+    rng = np.random.RandomState(1)
+    n = 5000
+    t = pa.table(
+        {
+            "event_type": pa.array(rng.choice(["a", "b"], size=n)),
+            "user_id": pa.array(rng.randint(0, 800, size=n), type=pa.int64()),
+        }
+    )
+    out = _collect(approx_distinct(rd.from_arrow(t), "event_type", "user_id"))
+    exact = {
+        k: len({u for e, u in zip(t.column("event_type").to_pylist(),
+                                  t.column("user_id").to_pylist()) if e == k})
+        for k in ("a", "b")
+    }
+    for r in out.to_pylist():
+        err = abs(r["approx_distinct"] - exact[r["event_type"]])
+        assert err / exact[r["event_type"]] < 0.05

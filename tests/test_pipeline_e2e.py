@@ -127,3 +127,43 @@ def test_summary_table(ray_session, corpus, expected):
         assert row["chars"] == sum(len(s[1]) for s in spans)
         assert row["errors"] == sum(1 for s in spans if s[0] == "error")
         assert row["engine"] == (spans[0][0] if spans else "")
+
+
+def test_very_wide_doc_canonical(ray_session):
+    """SURVEY §7.3: a single doc with 10k media spans must flow through
+    the canonical plan without blowing a block — span-granular explode
+    spreads it across batches/actors — and reassemble exactly."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from ollama_ocr_ray.oracle import extract_document
+    from ollama_ocr_ray.pipelines.extract import extract_pipeline
+    from ollama_ocr_ray.schema import DOCUMENTS_SCHEMA
+
+    n = 10_000
+    doc = {
+        "doc_id": "wide-1",
+        "spans": [
+            {"kind": "media", "text": "", "media_ref": f"media://wide/{i}",
+             "offset": i}
+            for i in range(n)
+        ],
+    }
+    small = {
+        "doc_id": "tiny-1",
+        "spans": [{"kind": "text", "text": " ok ", "media_ref": "",
+                   "offset": 0}],
+    }
+    table = pa.Table.from_pylist([doc, small], schema=DOCUMENTS_SCHEMA)
+    out = extract_pipeline(rd.from_arrow(table), ocr_batch_size=512,
+                           ocr_concurrency=(2, 4))
+    rows = {
+        r["doc_id"]: r["spans"]
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert len(rows["wide-1"]) == n
+    want = extract_document(doc)["spans"]
+    assert rows["wide-1"] == want          # exact order under the shuffle
+    assert rows["tiny-1"][0]["text"] == "ok"
