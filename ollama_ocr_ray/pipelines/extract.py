@@ -314,3 +314,51 @@ def corpus_summary(extracted_with_stats):
         Sum("n_errors", alias_name="errors"),
         Mean("ocr_ms", alias_name="mean_ocr_ms"),
     )
+
+
+RECEIPTS_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("order", pa.int32()),
+        pa.field("media_ref", pa.string()),
+        pa.field("store_name", pa.string()),
+        pa.field("total_amount", pa.float64()),
+        pa.field("date", pa.string()),
+        pa.field("n_items", pa.int32()),
+    ]
+)
+
+
+def structured_receipts(extracted):
+    """Typed relational view over 'structured'-policy output: parses the
+    receipt-JSON spans (the reference only ever emits that JSON as text,
+    ``ollama_cloud_ocr.py:401-414`` — this closes the loop into typed
+    Arrow columns a downstream pipeline can aggregate)."""
+    import json
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            for s in r["spans"]:
+                if s["kind"] != "ocr":
+                    continue
+                try:
+                    obj = json.loads(s["text"])
+                except (ValueError, TypeError):
+                    continue
+                if not isinstance(obj, dict) or "store_name" not in obj:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "order": s["order"],
+                        "media_ref": s["media_ref"],
+                        "store_name": obj.get("store_name", ""),
+                        "total_amount": float(obj.get("total_amount", 0.0)),
+                        "date": obj.get("date", ""),
+                        "n_items": len(obj.get("items", [])),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=RECEIPTS_SCHEMA)
+
+    return extracted.map_batches(parse, batch_format="pyarrow")

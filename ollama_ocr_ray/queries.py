@@ -237,6 +237,16 @@ def q_extract_structured(sf_dir: str):
     )
 
 
+def q_structured_receipts(sf_dir: str):
+    """Typed receipts table parsed from 'structured'-policy extraction."""
+    from .pipelines.extract import fused_pipeline, structured_receipts
+
+    docs = _read_corpus(sf_dir)
+    return structured_receipts(
+        fused_pipeline(docs, policy="structured", concurrency=(4, 8))
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.minhash_dup_pairs(ds, threshold=0.8)
@@ -497,6 +507,7 @@ def queries() -> dict:
         "extract_fused": q_extract_fused,
         "extract_multi": q_extract_multi,
         "extract_structured": q_extract_structured,
+        "structured_receipts": q_structured_receipts,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_dedup": q_ngram_dedup,

@@ -98,3 +98,33 @@ def test_register_policy_local():
         from ollama_ocr_ray.spec import _POLICIES
 
         _POLICIES.pop("shout", None)
+
+
+def test_structured_receipts_view(ray_session):
+    """Typed view parses every structured media span into receipt
+    columns; count equals the non-corrupt media span count."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ollama_ocr_ray.pipelines.extract import (
+        fused_pipeline,
+        structured_receipts,
+    )
+
+    table = synth.gen_table(40, seed=11)
+    out = structured_receipts(
+        fused_pipeline(rd.from_arrow(table), policy="structured",
+                       concurrency=(1, 2))
+    )
+    t = pa.concat_tables(
+        list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    flat = pc.list_flatten(table.column("spans")).combine_chunks()
+    kinds = pc.struct_field(flat, "kind").to_pylist()
+    refs = pc.struct_field(flat, "media_ref").to_pylist()
+    n_media_ok = sum(
+        1 for k, r in zip(kinds, refs)
+        if k == "media" and not r.endswith("#corrupt")
+    )
+    assert t.num_rows == n_media_ok
+    assert (pc.min(t.column("total_amount")).as_py() or 0) >= 0

@@ -86,3 +86,39 @@ def test_generation_is_order_independent(seed):
     whole = synth.gen_table(12, seed=seed)
     part = synth.gen_table(4, seed=seed, start=5)
     assert whole.slice(5, 4).equals(part)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=400))
+def test_html_parser_never_crashes(payload):
+    """Arbitrary (including malformed) markup: the extractor returns a
+    list of non-empty collapsed strings, never raises."""
+    from ollama_ocr_ray.stages.html_extract import extract_html_stage
+
+    out = extract_html_stage(payload)
+    assert all(isinstance(t, str) and t == " ".join(t.split()) != ""
+               for t in out)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=400))
+def test_pdf_parser_never_crashes(payload):
+    """Arbitrary layout text: malformed records are tolerated, output is
+    per-page text in page order, never raises."""
+    from ollama_ocr_ray.stages.pdf_parse import parse_pdf_stage
+
+    out = parse_pdf_stage(payload)
+    assert all(isinstance(t, str) for t in out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_parsers_match_oracle_on_random_payloads(payload):
+    """The dual implementations (stage vs oracle) agree even on inputs
+    far outside the synthesizer's grammar."""
+    from ollama_ocr_ray.oracle import extract_html, extract_pdf
+    from ollama_ocr_ray.stages.html_extract import extract_html_stage
+    from ollama_ocr_ray.stages.pdf_parse import parse_pdf_stage
+
+    assert extract_html_stage(payload) == extract_html(payload)
+    assert parse_pdf_stage(payload) == extract_pdf(payload)
