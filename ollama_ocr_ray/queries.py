@@ -380,6 +380,57 @@ def q_approx_users(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def q_props_extract(sf_dir: str):
+    """JSON metadata extraction from the events props column: per-type
+    sum/avg of the extracted field (the metadata-parse step every
+    training-data pipeline has).  Python json in the batch UDF (Arrow
+    has no JSON kernel); compiled once per process, partial-aggregated
+    before the exchange."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch.column("props").to_pylist()),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("event_type").aggregate([("k", "sum"), ("one", "sum")])
+
+    agg = ev.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Sum("k_sum", alias_name="sum_k"),
+        Sum("one_sum", alias_name="n_events"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        sk = batch.column("sum_k").to_numpy(zero_copy_only=False)
+        n = batch.column("n_events").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": pa.array(n, type=pa.int64()),
+                "sum_k": pa.array(sk, type=pa.int64()),
+                "avg_k": pa.array(sk / n),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow")
@@ -496,6 +547,7 @@ def queries() -> dict:
         "distinct_lang_source": q_distinct_lang_source,
         "docs_sample_mod": q_docs_sample_mod,
         "brand_stats": q_brand_stats,
+        "props_extract": q_props_extract,
         "quality_score": q_quality_score,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
@@ -618,6 +670,15 @@ def oracle_sql() -> dict:
                    (sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT))/100.0)
                      / count(*) AS avg_price
             FROM part GROUP BY p_brand
+        """,
+        "props_extract": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS DOUBLE) / count(*) AS avg_k
+            FROM events GROUP BY event_type
         """,
         "quality_score": """
             SELECT doc_id,
