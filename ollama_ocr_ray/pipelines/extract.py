@@ -238,7 +238,12 @@ def choose_plan(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
     per_span_ms = ocr_latency_ms + ocr_burn * _BURN_MS_PER_ITER
     if per_span_ms <= 0:
         return "fused"
-    sample = docs.limit(sample_docs).take_batch(sample_docs, batch_format="pyarrow")
+    try:
+        sample = docs.limit(sample_docs).take_batch(
+            sample_docs, batch_format="pyarrow"
+        )
+    except Exception:  # empty corpus: nothing to probe, either plan is fine
+        return "fused"
     spans = sample["spans"]
     kinds = pc.struct_field(pc.list_flatten(spans), "kind")
     # per-doc media counts: segment the flattened kind array by offsets

@@ -167,3 +167,17 @@ def test_very_wide_doc_canonical(ray_session):
     want = extract_document(doc)["spans"]
     assert rows["wide-1"] == want          # exact order under the shuffle
     assert rows["tiny-1"][0]["text"] == "ok"
+
+
+def test_auto_plan_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from ollama_ocr_ray import synth
+    from ollama_ocr_ray.pipelines.extract import auto_pipeline
+
+    empty = rd.from_arrow(synth.gen_table(0))
+    plan, out = auto_pipeline(empty, ocr_latency_ms=5.0)
+    assert plan == "fused"
+    n = sum(b.num_rows
+            for b in out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert n == 0
