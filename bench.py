@@ -152,15 +152,23 @@ def scaling_child(num_cpus: int, corpus: str, burn: int, latency_ms: float,
         plan=None if plan == "auto" else plan,
     )
     n = 0
+    n_first = 0
     t_first = None
     for b in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
         if t_first is None:
             t_first = time.perf_counter() - t0
+            n_first = b.num_rows
         n += b.num_rows
     elapsed = time.perf_counter() - t0
-    # steady-state throughput excludes the fixed pool spin-up, which a
-    # long production job amortizes; both are reported.
-    steady = n / (elapsed - t_first) if elapsed > t_first else n / elapsed
+    # steady-state throughput excludes the fixed pool spin-up (which a
+    # long production job amortizes) AND the rows delivered with the
+    # first batch, so the numerator matches the measured interval.
+    if t_first is not None and elapsed > t_first and n > n_first:
+        steady = (n - n_first) / (elapsed - t_first)
+    else:
+        steady = n / elapsed if elapsed > 0 else 0.0
+    if t_first is None:
+        t_first = elapsed
     print(
         json.dumps(
             {

@@ -73,13 +73,15 @@ class MinHashLSH:
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
 
-    def _shingle_hashes(self, text: str) -> np.ndarray:
+    def _shingle_set(self, text: str) -> set:
         toks = text.split()
         k = self.shingle_k
         if len(toks) < k:
-            shingles = {" ".join(toks)} if toks else {""}
-        else:
-            shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            return {" ".join(toks)} if toks else {""}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        shingles = self._shingle_set(text)
         return np.fromiter(
             (
                 int.from_bytes(
@@ -294,9 +296,18 @@ def ngram_dup_pairs(docs, *, k: int = 3, threshold: float = 0.5,
             }
         )
 
+    class CharMinHash(MinHashLSH):
+        """Character-k-gram shingles — the SAME shingle space the
+        verify stage measures, so candidate recall matches the
+        banding guarantee (word-shingle signatures would miss pairs
+        whose char-Jaccard clears the threshold)."""
+
+        def _shingle_set(self, text: str) -> set:
+            return {text[i:i + k] for i in range(max(1, len(text) - k + 1))}
+
     class SigRows:
         def __init__(self):
-            self._h = MinHashLSH(num_perm=num_perm)
+            self._h = CharMinHash(num_perm=num_perm)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             return sig_rows(self._h, batch)

@@ -32,17 +32,24 @@ def _segment_count(list_array, flat_mask: np.ndarray, n_rows: int) -> np.ndarray
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """Adds n_tokens, n_stop, stop_ratio, n_chars (whitespace tokenizer,
     the engine analog of the reference's char counting, G1 at
-    ``ocr_router.py:408``)."""
+    ``ocr_router.py:408``).
+
+    Arrow's ``utf8_split_whitespace`` emits empty tokens at string
+    edges (' a ' → ['', 'a', '']); tokens are counted NON-empty so the
+    semantics are whitespace-run tokenization regardless of padding —
+    mirrored by the oracle's regexp_split + filter."""
     batch = batch.combine_chunks()
     text = batch.column("text")
     toks = pc.utf8_split_whitespace(text)
-    n_tokens = pc.list_value_length(toks).cast(pa.int64())
     flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_tokens_np = _segment_count(toks, nonempty, len(batch))
+    n_tokens = pa.array(n_tokens_np, type=pa.int64())
     stop_mask = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
         zero_copy_only=False
     )
     n_stop = _segment_count(toks, stop_mask, len(batch))
-    nt = n_tokens.to_numpy(zero_copy_only=False)
+    nt = n_tokens_np
     ratio = np.divide(n_stop, nt, out=np.zeros(len(batch)), where=nt > 0)
     return batch.append_column("n_tokens", n_tokens).append_column(
         "n_stop", pa.array(n_stop, type=pa.int64())
@@ -172,8 +179,11 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     n_chars = pc.utf8_length(text).cast(pa.int64())
     n_punct = pc.count_substring_regex(text, PUNCT_PATTERN).cast(pa.int64())
     toks = pc.utf8_split_whitespace(text)
-    n_tokens = pc.list_value_length(toks).cast(pa.int64())
     flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_tokens = pa.array(
+        _segment_count(toks, nonempty, len(batch)), type=pa.int64()
+    )
     stop_mask = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
         zero_copy_only=False
     )

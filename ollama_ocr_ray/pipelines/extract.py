@@ -129,15 +129,20 @@ class FusedExtractor:
     """
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
-                 policy: str = "text", with_stats: bool = False):
+                 policy: str = "text", offset_range=None,
+                 with_stats: bool = False):
         self._ocr = OcrModel(burn_iters=burn_iters, latency_ms=latency_ms,
                              policy=policy)
         self.policy = policy
+        self.offset_range = offset_range
         self.with_stats = with_stats
 
     def _extract_doc(self, spans: list[dict]) -> tuple[list[dict], int]:
         out = []
         n_media = 0
+        if self.offset_range is not None:
+            lo, hi = self.offset_range
+            spans = [s for s in spans if lo <= s["offset"] < hi]
         for s in sorted(spans, key=lambda s: s["offset"]):
             kind = s["kind"]
             if kind == "text":
@@ -193,7 +198,7 @@ class FusedExtractor:
 
 def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
                    batch_size: int | None = None, concurrency=None,
-                   num_cpus=None, policy: str = "text",
+                   num_cpus=None, policy: str = "text", offset_range=None,
                    with_stats: bool = False):
     """documents Dataset → extracted Dataset, zero-shuffle plan."""
     auto_conc, auto_cpus, auto_bs = _pool_sizing(ocr_burn, ocr_latency_ms)
@@ -214,6 +219,7 @@ def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
             "burn_iters": ocr_burn,
             "latency_ms": ocr_latency_ms,
             "policy": policy,
+            "offset_range": offset_range,
             "with_stats": with_stats,
         },
     )
@@ -260,20 +266,38 @@ def choose_plan(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
 
 
 def auto_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
-                  with_stats: bool = False, plan: str | None = None, **kw):
+                  policy: str = "text", offset_range=None,
+                  ocr_batch_size: int | None = None, ocr_concurrency=None,
+                  ocr_num_cpus=None, with_stats: bool = False,
+                  plan: str | None = None):
     """The engine's default: probe skew, then run the fused
     (zero-shuffle) plan for bounded-skew corpora or the canonical
-    salted-split plan for heavy-tailed ones.  Returns (plan_name, ds)."""
+    salted-split plan for heavy-tailed ones.  Returns (plan_name, ds).
+
+    Tuning kwargs use the canonical (``ocr_``-prefixed) names and are
+    translated for the fused plan, so callers can pass them portably —
+    the probe, not the caller, decides which plan runs.  Note the
+    batch-size unit differs by plan (span rows vs whole docs), so an
+    explicit ``ocr_batch_size`` is only forwarded to the canonical plan.
+    """
     if plan is None:
         plan = choose_plan(docs, ocr_burn=ocr_burn, ocr_latency_ms=ocr_latency_ms)
     if plan == "fused":
         out = fused_pipeline(docs, ocr_burn=ocr_burn,
                              ocr_latency_ms=ocr_latency_ms,
-                             with_stats=with_stats, **kw)
+                             policy=policy, offset_range=offset_range,
+                             concurrency=ocr_concurrency,
+                             num_cpus=ocr_num_cpus,
+                             with_stats=with_stats)
     else:
         out = extract_pipeline(docs, ocr_burn=ocr_burn,
                                ocr_latency_ms=ocr_latency_ms,
-                               with_stats=with_stats, **kw)
+                               policy=policy, offset_range=offset_range,
+                               ocr_concurrency=ocr_concurrency,
+                               ocr_num_cpus=ocr_num_cpus,
+                               with_stats=with_stats,
+                               **({} if ocr_batch_size is None
+                                  else {"ocr_batch_size": ocr_batch_size}))
     return plan, out
 
 

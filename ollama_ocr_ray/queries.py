@@ -15,6 +15,8 @@ from .functions import dedup, relational, similarity, text as ftext
 
 # Stopword literal shared with oracle SQL strings.
 _STOP_SQL = "('the','and','of','a','in','to')"
+# whitespace-run tokenizer matching the engine's (non-empty tokens only)
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
@@ -576,12 +578,12 @@ def oracle_sql() -> dict:
     return {
         "doc_token_stats": f"""
             SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   CAST(len(list_filter(string_split(text, ' '),
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter({_TOKS_SQL},
                         x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stop,
-                   CAST(len(list_filter(string_split(text, ' '),
+                   CAST(len(list_filter({_TOKS_SQL},
                         x -> x IN {_STOP_SQL})) AS DOUBLE)
-                     / len(string_split(text, ' ')) AS stop_ratio
+                     / greatest(len({_TOKS_SQL}), 1) AS stop_ratio
             FROM documents
         """,
         "bpe_token_count": f"""
@@ -687,15 +689,23 @@ def oracle_sql() -> dict:
                      AS n_punct,
                    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
                      / greatest(length(text), 1) AS punct_ratio,
-                   CAST(len(list_filter(string_split(text, ' '),
+                   CAST(len(list_filter(list_filter(
+                        regexp_split_to_array(text, '\\s+'),
+                        x -> x <> ''),
                         x -> x IN ('the','and','of','a','in','to')))
                         AS DOUBLE)
-                     / greatest(len(string_split(text, ' ')), 1)
+                     / greatest(len(list_filter(
+                        regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '')), 1)
                      AS stop_ratio,
-                   ((CAST(len(list_filter(string_split(text, ' '),
+                   ((CAST(len(list_filter(list_filter(
+                        regexp_split_to_array(text, '\\s+'),
+                        x -> x <> ''),
                         x -> x IN ('the','and','of','a','in','to')))
                         AS DOUBLE)
-                     / greatest(len(string_split(text, ' ')), 1)) * 0.5)
+                     / greatest(len(list_filter(
+                        regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '')), 1)) * 0.5)
                    + ((CAST(len(regexp_extract_all(text, '[.,;:!?]'))
                         AS DOUBLE)
                      / greatest(length(text), 1)) * 0.3) AS quality_score

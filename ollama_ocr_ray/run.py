@@ -22,8 +22,8 @@ def main(argv=None) -> int:
     ap.add_argument("--plan", choices=["auto", "canonical", "fused"],
                     default="auto")
     ap.add_argument("--policy", default="text",
-                    help="extraction policy: text|handwriting|structured|"
-                         "document|multi (reference --mode dispatch)")
+                    help="extraction policy (reference --mode dispatch); "
+                         "unknown names fail fast at actor construction")
     ap.add_argument("--ocr-burn", type=int, default=0,
                     help="simulated per-media-span inference cost (hash iters)")
     ap.add_argument("--ocr-latency-ms", type=float, default=0.0,

@@ -83,7 +83,11 @@ def read_documents_files(files: list[str], *, validate: bool = True,
     import ray.data as rd
 
     if _has_lance() and files and files[0].endswith(".lance"):
-        ds = rd.read_lance(files[0])
+        try:
+            ds = rd.read_lance(files[0],
+                               override_num_blocks=override_num_blocks)
+        except TypeError:  # older read_lance without the parameter
+            ds = rd.read_lance(files[0])
     else:
         ds = rd.read_parquet(files, override_num_blocks=override_num_blocks)
     if validate:

@@ -199,14 +199,27 @@ def register_policy(mode: str, fn) -> None:
     _POLICIES[mode] = fn
 
 
+def resolve_policy(mode):
+    """Policy name/callable → callable(media_ref) -> list[str].
+
+    An unknown NAME is a job-configuration error, not a per-record data
+    error, so it raises here (at actor construction — fail fast, the
+    analog of argparse ``choices`` in the reference CLIs) instead of
+    silently tagging every media span with error text under
+    ``kind='ocr'``."""
+    if callable(mode):
+        return mode
+    fn = _POLICIES.get(mode)
+    if fn is None:
+        raise ValueError(
+            f"unknown extraction mode: {mode!r} (known: {sorted(_POLICIES)}; "
+            "or pass a callable)"
+        )
+    return fn
+
+
 def mode_transcript(media_ref: str, mode="text") -> list[str]:
     """Ordered output texts for one (non-corrupt) media span under a
     policy.  ``mode`` is a built-in/registered name or a callable
-    (the distributed-safe extension path).  Unknown name → inline
-    error span semantics."""
-    if callable(mode):
-        return mode(media_ref)
-    fn = _POLICIES.get(mode)
-    if fn is None:
-        return [f"[Error processing page: unknown extraction mode: {mode}]"]
-    return fn(media_ref)
+    (the distributed-safe extension path)."""
+    return resolve_policy(mode)(media_ref)

@@ -35,7 +35,8 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript, mode_transcript
+from ..spec import (CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript,
+                    mode_transcript, resolve_policy)
 
 
 class OcrModel:
@@ -51,6 +52,7 @@ class OcrModel:
         # (R9) — sub indices keep reassembly exact.
         self.burn_iters = int(burn_iters)
         self.latency_ms = float(latency_ms)
+        resolve_policy(policy)  # unknown policy name fails fast, per actor
         self.policy = policy
         self.stamp_batches = stamp_batches  # test hook: tag rows with call id
         self._calls = 0
@@ -92,7 +94,10 @@ class OcrModel:
         texts = batch.column("text").to_pylist()
         kinds = kind.tolist()
         media_idx = np.nonzero(is_media)[0]
-        self.simulate_latency(len(media_idx))
+        n_infer = sum(
+            1 for i in media_idx if not refs[i].endswith(CORRUPT_SUFFIX)
+        )
+        self.simulate_latency(n_infer)
         if self.policy == "text":
             # fast path: exactly one output per media span, in place
             for i in media_idx:
@@ -129,8 +134,7 @@ class OcrModel:
         o_doc, o_off, o_sub, o_kind, o_text, o_ref, o_ms = (
             [], [], [], [], [], [], []
         )
-        elapsed_ms = (time.perf_counter() - t0) * 1e3
-        per_row = elapsed_ms / max(1, len(media_idx))
+        media_out_rows = []
         for i in range(n):
             if not is_media_l[i]:
                 o_doc.append(docs[i]); o_off.append(offs[i])
@@ -148,7 +152,13 @@ class OcrModel:
                 o_doc.append(docs[i]); o_off.append(offs[i])
                 o_sub.append(j); o_kind.append(k)
                 o_text.append(t); o_ref.append(ref)
-                o_ms.append(per_row)
+                media_out_rows.append(len(o_ms))
+                o_ms.append(0.0)
+        # amortized batch OCR latency, measured AFTER the work
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        per_row = elapsed_ms / max(1, len(media_out_rows))
+        for r in media_out_rows:
+            o_ms[r] = per_row
         return self._stamp(
             pa.table(
                 {

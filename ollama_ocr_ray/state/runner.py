@@ -19,7 +19,8 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..pipelines.extract import extract_pipeline, fused_pipeline
-from ..sources.io import list_input_files, read_documents_files
+from ..sources.io import (list_input_files, read_documents_files,
+                          write_extracted)
 from .manifest import Manifest, partition_fingerprint
 
 
@@ -77,7 +78,7 @@ def _run_partition(
     for stale in (tmp_dir, part_dir):
         if os.path.isdir(stale):
             shutil.rmtree(stale)  # uncommitted leftovers from a killed run
-    out.write_parquet(tmp_dir)
+    write_extracted(out, tmp_dir)
     os.replace(tmp_dir, part_dir)
     record = {
         "input_file": os.path.abspath(input_file),

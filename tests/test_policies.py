@@ -60,9 +60,17 @@ def test_structured_policy_is_json():
     )
 
 
-def test_unknown_mode_yields_error_span():
-    (txt,) = mode_transcript("media://d/3", "no-such-mode")
-    assert txt.startswith("[Error processing page: unknown extraction mode")
+def test_unknown_mode_fails_fast():
+    """An unknown policy NAME is a job-configuration error: it raises at
+    resolution/actor construction, rather than silently tagging every
+    media span kind='ocr' with error text (n_errors would stay 0 and a
+    misconfigured run would look clean)."""
+    from ollama_ocr_ray.stages.ocr import OcrModel
+
+    with pytest.raises(ValueError, match="unknown extraction mode"):
+        mode_transcript("media://d/3", "no-such-mode")
+    with pytest.raises(ValueError, match="unknown extraction mode"):
+        OcrModel(policy="strucutred")  # typo'd name caught at __init__
 
 
 def test_callable_policy_extension(ray_session):
