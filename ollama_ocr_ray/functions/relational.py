@@ -410,3 +410,62 @@ def sessionize(events, gap_minutes: int = 30):
         )
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, 1e18),
+]
+
+
+def band_join_parts(part):
+    """Range (band) join: each part row joins the price band whose
+    [lo, hi) interval contains p_retailprice.  Ray Data has no range-join
+    primitive; the small side is a sorted boundary array broadcast to
+    every task and the probe is one vectorized ``searchsorted`` per
+    batch (SURVEY §2.7 pattern) — no shuffle.  Output: parts per band +
+    exact price total."""
+    from ray.data.aggregate import Sum
+
+    bounds = np.array([b[1] for b in PRICE_BANDS], dtype=np.float64)
+    names = np.array([b[0] for b in PRICE_BANDS], dtype=object)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        price = batch.column("p_retailprice").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, price, side="right") - 1
+        idx = np.clip(idx, 0, len(names) - 1)
+        t = pa.table(
+            {
+                "band": pa.array(names[idx], type=pa.string()),
+                "cents": _cents(batch.column("p_retailprice")),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("band").aggregate([("cents", "sum"), ("one", "sum")])
+
+    agg = (
+        part.map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("cents_sum", alias_name="cents"),
+            Sum("one_sum", alias_name="n_parts"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table(
+            {
+                "band": batch.column("band"),
+                "n_parts": batch.column("n_parts").cast(pa.int64()),
+                "total_price": pa.array(
+                    batch.column("cents").to_numpy(zero_copy_only=False)
+                    / 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -382,6 +382,11 @@ def q_approx_users(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def q_band_join(sf_dir: str):
+    ds = _read(sf_dir, "part", columns=["p_retailprice"])
+    return relational.band_join_parts(ds)
+
+
 def q_props_extract(sf_dir: str):
     """JSON metadata extraction from the events props column: per-type
     sum/avg of the extracted field (the metadata-parse step every
@@ -550,6 +555,7 @@ def queries() -> dict:
         "docs_sample_mod": q_docs_sample_mod,
         "brand_stats": q_brand_stats,
         "props_extract": q_props_extract,
+        "band_join": q_band_join,
         "quality_score": q_quality_score,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
@@ -672,6 +678,20 @@ def oracle_sql() -> dict:
                    (sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT))/100.0)
                      / count(*) AS avg_price
             FROM part GROUP BY p_brand
+        """,
+        "band_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('budget', 0.0, 925.0),
+                ('mid', 925.0, 950.0),
+                ('premium', 950.0, 975.0),
+                ('luxury', 975.0, 1e18))
+            SELECT b.band,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   sum(CAST(floor(p.p_retailprice*100 + 0.5) AS BIGINT))/100.0
+                     AS total_price
+            FROM part p JOIN bands b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+            GROUP BY b.band
         """,
         "props_extract": """
             SELECT event_type,
