@@ -81,6 +81,7 @@ def extract_pipeline(
     ocr_num_cpus=None,
     policy: str = "text",
     offset_range=None,
+    media_store=None,
     with_stats: bool = False,
 ):
     """documents Dataset → extracted Dataset (EXTRACTED_SCHEMA [+stats]).
@@ -109,6 +110,7 @@ def extract_pipeline(
                 "burn_iters": ocr_burn,
                 "latency_ms": ocr_latency_ms,
                 "policy": policy,
+                "media_store": media_store,
             },
         )
     )
@@ -129,10 +131,10 @@ class FusedExtractor:
     """
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
-                 policy: str = "text", offset_range=None,
+                 policy: str = "text", offset_range=None, media_store=None,
                  with_stats: bool = False):
         self._ocr = OcrModel(burn_iters=burn_iters, latency_ms=latency_ms,
-                             policy=policy)
+                             policy=policy, media_store=media_store)
         self.policy = policy
         self.offset_range = offset_range
         self.with_stats = with_stats
@@ -158,12 +160,19 @@ class FusedExtractor:
                 if ref.endswith(CORRUPT_SUFFIX):
                     out.append(("error", ERROR_TEXT, ref))
                 else:
-                    self._ocr._burn(ref)
-                    n_media += 1
-                    out.extend(
-                        ("ocr", t, ref)
-                        for t in mode_transcript(ref, self.policy)
-                    )
+                    key, ok = self._ocr._transcribe_key(ref)
+                    if not ok:
+                        out.append(
+                            ("error",
+                             OcrModel.MISSING_MEDIA.format(ref=ref), ref)
+                        )
+                    else:
+                        self._ocr._burn(ref)
+                        n_media += 1
+                        out.extend(
+                            ("ocr", t, ref)
+                            for t in mode_transcript(key, self.policy)
+                        )
             else:
                 out.append(("error", unsupported_text(kind), s["media_ref"]))
         return [
@@ -199,7 +208,7 @@ class FusedExtractor:
 def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
                    batch_size: int | None = None, concurrency=None,
                    num_cpus=None, policy: str = "text", offset_range=None,
-                   with_stats: bool = False):
+                   media_store=None, with_stats: bool = False):
     """documents Dataset → extracted Dataset, zero-shuffle plan."""
     auto_conc, auto_cpus, auto_bs = _pool_sizing(ocr_burn, ocr_latency_ms)
     if concurrency is None:
@@ -220,6 +229,7 @@ def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
             "latency_ms": ocr_latency_ms,
             "policy": policy,
             "offset_range": offset_range,
+            "media_store": media_store,
             "with_stats": with_stats,
         },
     )

@@ -43,20 +43,59 @@ class OcrModel:
     """Callable-class stage: __init__ once per actor, __call__ per batch."""
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
-                 policy: str = "text", stamp_batches: bool = False):
+                 policy: str = "text", media_store=None,
+                 stamp_batches: bool = False):
         # "load the model": in the real engine this is where weights land
         # on the device; here we pre-touch the transcription vocab and
         # keep the cost knobs.  ``policy`` is the mode dispatch of the
         # reference's --mode flag (R4, ``ollama_cloud_ocr.py:744-788``);
         # the 'multi' policy fans each media span into ordered sub-spans
         # (R9) — sub indices keep reassembly exact.
+        #
+        # ``media_store`` is the broadcast media-sidecar lookup of
+        # SURVEY §2.7: a {media_ref: payload bytes} mapping (pass a
+        # ``ray.put`` ObjectRef so the store ships to each actor ONCE,
+        # not per batch) resolved here, inside the actor — media bytes
+        # never enter the shuffle path.  Absent a store, the payload is
+        # the deterministic content function of the ref (synthetic
+        # corpus contract).
         self.burn_iters = int(burn_iters)
         self.latency_ms = float(latency_ms)
         resolve_policy(policy)  # unknown policy name fails fast, per actor
         self.policy = policy
+        try:
+            import ray
+
+            if isinstance(media_store, ray.ObjectRef):
+                media_store = ray.get(media_store)
+        except ImportError:
+            pass
+        self.media_store = media_store
         self.stamp_batches = stamp_batches  # test hook: tag rows with call id
         self._calls = 0
         self._warm = mock_transcript("media://warmup/0")
+
+    def resolve_media(self, ref: str) -> bytes | None:
+        """media_ref → payload bytes via the broadcast sidecar store;
+        None when no store is configured (ref-keyed mock contract)."""
+        if self.media_store is None:
+            return None
+        return self.media_store.get(ref)
+
+    MISSING_MEDIA = "[Error processing page: media not found: {ref}]"
+
+    def _transcribe_key(self, ref: str):
+        """(key, ok): transcription key for a media span.  With a sidecar
+        store the mock model "reads the pixels" — the transcript is a
+        function of the PAYLOAD, so two refs with identical bytes
+        transcribe identically; a ref missing from the store is a data
+        error (inline error span, processing continues)."""
+        if self.media_store is None:
+            return ref, True
+        payload = self.media_store.get(ref)
+        if payload is None:
+            return None, False
+        return "payload:" + hashlib.sha256(payload).hexdigest(), True
 
     def _burn(self, ref: str) -> None:
         # deterministic stand-in for per-span compute cost
@@ -106,9 +145,14 @@ class OcrModel:
                     kinds[i] = "error"
                     texts[i] = ERROR_TEXT
                 else:
-                    self._burn(ref)
-                    kinds[i] = "ocr"
-                    texts[i] = mock_transcript(ref)
+                    key, ok = self._transcribe_key(ref)
+                    if not ok:
+                        kinds[i] = "error"
+                        texts[i] = self.MISSING_MEDIA.format(ref=ref)
+                    else:
+                        self._burn(ref)
+                        kinds[i] = "ocr"
+                        texts[i] = mock_transcript(key)
             elapsed_ms = (time.perf_counter() - t0) * 1e3
             per_row = elapsed_ms / len(media_idx)
             ocr_ms = np.zeros(n)
@@ -146,8 +190,13 @@ class OcrModel:
             if ref.endswith(CORRUPT_SUFFIX):
                 outs = [("error", ERROR_TEXT)]
             else:
-                self._burn(ref)
-                outs = [("ocr", t) for t in mode_transcript(ref, self.policy)]
+                key, ok = self._transcribe_key(ref)
+                if not ok:
+                    outs = [("error", self.MISSING_MEDIA.format(ref=ref))]
+                else:
+                    self._burn(ref)
+                    outs = [("ocr", t)
+                            for t in mode_transcript(key, self.policy)]
             for j, (k, t) in enumerate(outs):
                 o_doc.append(docs[i]); o_off.append(offs[i])
                 o_sub.append(j); o_kind.append(k)

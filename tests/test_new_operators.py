@@ -301,3 +301,50 @@ def test_approx_distinct_vs_exact(ray_session):
     for r in out.to_pylist():
         err = abs(r["approx_distinct"] - exact[r["event_type"]])
         assert err / exact[r["event_type"]] < 0.05
+
+
+# --- broadcast media-sidecar lookup (SURVEY 2.7) -----------------------------
+
+
+def test_media_store_broadcast_lookup(ray_session):
+    """With a sidecar store the transcript keys on payload bytes (two
+    refs with identical bytes transcribe identically), a missing ref
+    becomes an inline error span, and both plans agree.  The store ships
+    once via ray.put, resolved inside the actors."""
+    import ray
+    import ray.data as rd
+
+    from ollama_ocr_ray.pipelines.extract import (
+        extract_pipeline,
+        fused_pipeline,
+    )
+    from ollama_ocr_ray.schema import DOCUMENTS_SCHEMA
+
+    doc = {
+        "doc_id": "m1",
+        "spans": [
+            {"kind": "media", "text": "", "media_ref": "s3://a", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": "s3://b", "offset": 1},
+            {"kind": "media", "text": "", "media_ref": "s3://missing",
+             "offset": 2},
+        ],
+    }
+    table = pa.Table.from_pylist([doc], schema=DOCUMENTS_SCHEMA)
+    store = ray.put({"s3://a": b"same-bytes", "s3://b": b"same-bytes"})
+
+    def spans(ds):
+        t = pa.concat_tables(
+            list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+        return [
+            (s["kind"], s["text"]) for s in t.to_pylist()[0]["spans"]
+        ]
+
+    got_c = spans(extract_pipeline(rd.from_arrow(table), media_store=store,
+                                   ocr_concurrency=(1, 2)))
+    got_f = spans(fused_pipeline(rd.from_arrow(table), media_store=store,
+                                 concurrency=(1, 2)))
+    assert got_c == got_f
+    assert got_c[0] == got_c[1]                       # same bytes, same text
+    assert got_c[0][0] == "ocr"
+    assert got_c[2][0] == "error" and "media not found" in got_c[2][1]
