@@ -469,3 +469,130 @@ def band_join_parts(part):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_sliding(events, window_minutes: int = 60, slide_minutes: int = 15):
+    """Sliding (hopping) windows per event_type: each event lands in
+    ``window/slide`` overlapping windows.  The window keys are emitted
+    vectorized (np.repeat over the batch — a flat-map, no Python row
+    loop), then one groupby exchange aggregates; the multiplication by
+    window/slide happens AFTER per-batch pre-aggregation would be
+    pointless (keys differ), but the emitted rows are (type, window,
+    micro)-partials, never full event payloads."""
+    from ray.data.aggregate import Sum
+
+    k = window_minutes // slide_minutes
+    slide_us = slide_minutes * 60 * 1_000_000
+    win_us = window_minutes * 60 * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+        # the last window containing ts starts at floor(ts/slide)*slide;
+        # the k windows [start - i*slide, +win) for i in 0..k-1 contain it
+        last_start = (ts // slide_us) * slide_us
+        starts = last_start[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_us
+        keep = (ts[:, None] >= starts) & (ts[:, None] < starts + win_us)
+        n_rep = keep.sum(axis=1)
+        parent = np.repeat(np.arange(len(ts)), n_rep)
+        win = starts[keep]
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type").take(pa.array(parent)),
+                "window_start": pa.array(win, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "micro": pa.array(micro[parent]),
+                "one": pa.array(np.ones(len(parent), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("micro", "sum"), ("one", "sum")]
+        )
+
+    agg = (
+        events.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("micro_sum", alias_name="micro"),
+            Sum("one_sum", alias_name="n_events"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": batch.column("window_start"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pa.array(
+                    batch.column("micro").to_numpy(zero_copy_only=False) / 1e6
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_orders_per_segment(orders, customer_lookup: dict, n: int = 3):
+    """Grouped top-N (the row_number() window pattern): the N highest-
+    value orders per market segment, ties broken by o_orderkey.
+
+    Per-batch partial top-N per segment keeps the exchange at
+    N x segments x batches rows; the final per-group sort touches only
+    partial winners, never the orders table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        seg = np.array(
+            [customer_lookup.get(int(c), "UNKNOWN") for c in cust],
+            dtype=object,
+        )
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        out_s, out_k, out_c = [], [], []
+        for s in np.unique(seg):
+            m = seg == s
+            # sort by (-cents, orderkey): top-N with deterministic ties
+            order = np.lexsort((keys[m], -cents[m]))[:n]
+            out_s.extend([s] * len(order))
+            out_k.extend(keys[m][order].tolist())
+            out_c.extend(cents[m][order].tolist())
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out_s, type=pa.string()),
+                "o_orderkey": pa.array(out_k, type=pa.int64()),
+                "cents": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+
+    def final_group(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -cents))[:n]
+        return pa.table(
+            {
+                "c_mktsegment": group.column("c_mktsegment").take(
+                    pa.array(order)
+                ),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                "o_orderkey": pa.array(keys[order], type=pa.int64()),
+                "o_totalprice": pa.array(cents[order] / 100.0),
+            }
+        )
+
+    return partials.groupby("c_mktsegment").map_groups(
+        final_group, batch_format="pyarrow"
+    )

@@ -382,6 +382,24 @@ def q_approx_users(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return relational.events_sliding(ev, window_minutes=60, slide_minutes=15)
+
+
+def q_top_orders_segment(sf_dir: str):
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist())
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return relational.top_orders_per_segment(orders, lookup, n=3)
+
+
 def q_band_join(sf_dir: str):
     ds = _read(sf_dir, "part", columns=["p_retailprice"])
     return relational.band_join_parts(ds)
@@ -556,6 +574,8 @@ def queries() -> dict:
         "brand_stats": q_brand_stats,
         "props_extract": q_props_extract,
         "band_join": q_band_join,
+        "events_sliding": q_events_sliding,
+        "top_orders_segment": q_top_orders_segment,
         "quality_score": q_quality_score,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
@@ -678,6 +698,39 @@ def oracle_sql() -> dict:
                    (sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT))/100.0)
                      / count(*) AS avg_price
             FROM part GROUP BY p_brand
+        """,
+        "events_sliding": """
+            WITH w AS (
+                SELECT event_type,
+                       to_timestamp((epoch_us(ts) // (15*60*1000000)
+                                     - i) * (15*60*1000000) / 1000000.0)
+                         AT TIME ZONE 'UTC' AS window_start,
+                       value
+                FROM events, generate_series(0, 3) AS t(i)
+                WHERE epoch_us(ts) >= (epoch_us(ts) // (15*60*1000000) - i)
+                                      * (15*60*1000000)
+                  AND epoch_us(ts) <  (epoch_us(ts) // (15*60*1000000) - i)
+                                      * (15*60*1000000) + CAST(3600000000 AS BIGINT)
+            )
+            SELECT event_type, CAST(window_start AS TIMESTAMP) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
+                     AS sum_value
+            FROM w GROUP BY 1, 2
+        """,
+        "top_orders_segment": """
+            WITH r AS (
+                SELECT c.c_mktsegment, o.o_orderkey,
+                       floor(o.o_totalprice*100 + 0.5)/100.0 AS o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c.c_mktsegment
+                           ORDER BY floor(o.o_totalprice*100 + 0.5) DESC,
+                                    o.o_orderkey) AS rank
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            )
+            SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey,
+                   o_totalprice
+            FROM r WHERE rank <= 3
         """,
         "band_join": """
             WITH bands(band, lo, hi) AS (VALUES
