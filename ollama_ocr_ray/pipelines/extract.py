@@ -71,6 +71,25 @@ def _pool_sizing(ocr_burn: int, ocr_latency_ms: float):
     return (max(2, n_actors - 1), n_actors), 1, 64
 
 
+class SpanExtractor:
+    """explode + extract + OCR in ONE actor stage (document blocks in,
+    span rows out).  Same logical result as chaining the three
+    map_batches; one operator instead of three cuts per-task driver
+    dispatch ~3x on the canonical plan (BASELINE.md: the 3-op chain is
+    dispatch-bound at ~5 tasks/s on the bench host)."""
+
+    def __init__(self, offset_range=None, **ocr_kwargs):
+        self._ocr = OcrModel(**ocr_kwargs)
+        self.offset_range = offset_range
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._ocr(
+            extract_batch(
+                explode_batch(batch, offset_range=self.offset_range)
+            )
+        )
+
+
 def extract_pipeline(
     docs,
     *,
@@ -82,38 +101,57 @@ def extract_pipeline(
     policy: str = "text",
     offset_range=None,
     media_store=None,
+    fuse_stages: bool = True,
     with_stats: bool = False,
 ):
     """documents Dataset → extracted Dataset (EXTRACTED_SCHEMA [+stats]).
 
     Canonical plan: span-granular parallelism + one groupby(doc_id)
-    exchange for reassembly.
+    exchange for reassembly.  ``fuse_stages`` (default) runs
+    explode/extract/OCR inside one actor stage (``SpanExtractor``) —
+    measurably less driver dispatch overhead; False keeps the
+    three-operator chain (stateless explode/extract as tasks), which is
+    preferable when the stateless stages should scale independently of
+    the actor pool (e.g. real GPU actors with num_gpus set).
     """
     auto_conc, auto_cpus, _ = _pool_sizing(ocr_burn, ocr_latency_ms)
     if ocr_concurrency is None:
         ocr_concurrency = auto_conc
     if ocr_num_cpus is None:
         ocr_num_cpus = auto_cpus
-    spans = (
-        docs.map_batches(explode_batch, batch_format="pyarrow",
-                         zero_copy_batch=True,
-                         fn_kwargs={"offset_range": offset_range})
-        .map_batches(extract_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(
-            OcrModel,
+    ocr_kwargs = {
+        "burn_iters": ocr_burn,
+        "latency_ms": ocr_latency_ms,
+        "policy": policy,
+        "media_store": media_store,
+    }
+    if fuse_stages:
+        spans = docs.map_batches(
+            SpanExtractor,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=ocr_batch_size,
             concurrency=ocr_concurrency,
             num_cpus=ocr_num_cpus,
-            fn_constructor_kwargs={
-                "burn_iters": ocr_burn,
-                "latency_ms": ocr_latency_ms,
-                "policy": policy,
-                "media_store": media_store,
-            },
+            fn_constructor_kwargs={"offset_range": offset_range, **ocr_kwargs},
         )
-    )
+    else:
+        spans = (
+            docs.map_batches(explode_batch, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             fn_kwargs={"offset_range": offset_range})
+            .map_batches(extract_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(
+                OcrModel,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=ocr_batch_size,
+                concurrency=ocr_concurrency,
+                num_cpus=ocr_num_cpus,
+                fn_constructor_kwargs=ocr_kwargs,
+            )
+        )
     out = spans.groupby("doc_id").map_groups(
         reassemble_group, batch_format="pyarrow"
     )
