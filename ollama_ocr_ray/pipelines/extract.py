@@ -24,14 +24,13 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..schema import EXTRACTED_SCHEMA, SUMMARY_SCHEMA
-from ..spec import (CORRUPT_SUFFIX, ERROR_TEXT, mock_transcript,
-                    mode_transcript, unsupported_text)
+from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, unsupported_text
 from ..stages.explode import explode_batch
 from ..stages.extract import extract_batch
 from ..stages.html_extract import extract_html_stage
 from ..stages.ocr import OcrModel
 from ..stages.pdf_parse import parse_pdf_stage
-from ..stages.reassemble import REASSEMBLED_SCHEMA, reassemble_group
+from ..stages.reassemble import REASSEMBLED_SCHEMA, reassemble_sorted_block
 
 
 _BURN_MS_PER_ITER = 0.00055  # measured sha256 cost on the bench host
@@ -65,9 +64,16 @@ def _pool_sizing(ocr_burn: int, ocr_latency_ms: float):
     cpus = _cluster_cpus()
     latency_bound = ocr_latency_ms > ocr_burn * _BURN_MS_PER_ITER
     if latency_bound:
-        n_actors = 2 * cpus
-        return (max(2, n_actors - 2), n_actors), 0.5, 128
-    n_actors = max(2, cpus)
+        # Round-2 sweep (BASELINE.md): ~3.4 actors per CPU at 0.25 CPU
+        # each hides sleep best (120k docs / 32 CPUs: 110 actors beat
+        # 64@0.5 by ~1.4x on both plans).  Footprint tops out at 7/8 of
+        # the cluster, so the pool MAX (not just the min) leaves CPU
+        # slack for read/shuffle tasks.
+        n_actors = (7 * cpus) // 2
+        return (max(2, n_actors - 2), max(2, n_actors)), 0.25, 128
+    # compute-bound: 1 actor per CPU, max capped below the cluster so
+    # the stream never starves (an exact-CPUs pool stalls, BASELINE.md)
+    n_actors = max(2, cpus - 1)
     return (max(2, n_actors - 1), n_actors), 1, 64
 
 
@@ -103,6 +109,8 @@ def extract_pipeline(
     media_store=None,
     fuse_stages: bool = True,
     with_stats: bool = False,
+    reassembly_partitions: int | None = None,
+    model=None,
 ):
     """documents Dataset → extracted Dataset (EXTRACTED_SCHEMA [+stats]).
 
@@ -119,11 +127,19 @@ def extract_pipeline(
         ocr_concurrency = auto_conc
     if ocr_num_cpus is None:
         ocr_num_cpus = auto_cpus
+    # The streaming executor reserves ~50% of CPUs per operator; with
+    # three exchange operators downstream that halves the OCR pool's
+    # effective task budget (measured: 64 of 110 actors busy).  The
+    # pool max already leaves explicit CPU slack, so release the
+    # reservation for this plan only (Dataset.context is a per-dataset
+    # copy, not the process singleton — no session-wide mutation).
+    docs.context.op_resource_reservation_enabled = False
     ocr_kwargs = {
         "burn_iters": ocr_burn,
         "latency_ms": ocr_latency_ms,
         "policy": policy,
         "media_store": media_store,
+        "model": model,
     }
     if fuse_stages:
         spans = docs.map_batches(
@@ -152,8 +168,25 @@ def extract_pipeline(
                 fn_constructor_kwargs=ocr_kwargs,
             )
         )
-    out = spans.groupby("doc_id").map_groups(
-        reassemble_group, batch_format="pyarrow"
+    # Coalesce map-output blocks before the exchange: every sort-map,
+    # sort-reduce and reassemble task downstream costs one driver
+    # dispatch, and the driver sustains only ~16-44 dispatches/s on
+    # this host (BASELINE.md §dispatch) — trimming 214->64 blocks cut
+    # the post-barrier tail ~2x at 120k docs.  The default targets
+    # 2 blocks/CPU; at larger scale pass ``reassembly_partitions`` to
+    # keep post-shuffle blocks near the ~128 MB target.
+    if reassembly_partitions is None:
+        reassembly_partitions = max(16, 2 * _cluster_cpus())
+    # Reassembly exchange: sort on doc_id ONLY (a multi-key distributed
+    # sort could place a range boundary inside a document), then one
+    # vectorized many-docs-per-block pass — not groupby().map_groups,
+    # whose per-group Python call dominated the round-1 bench (2.1x the
+    # fused plan; see reassemble_sorted_block docstring).
+    out = spans.repartition(reassembly_partitions).sort("doc_id").map_batches(
+        reassemble_sorted_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     if with_stats:
         return out
@@ -170,20 +203,30 @@ class FusedExtractor:
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
                  policy: str = "text", offset_range=None, media_store=None,
-                 with_stats: bool = False):
+                 with_stats: bool = False, model=None):
         self._ocr = OcrModel(burn_iters=burn_iters, latency_ms=latency_ms,
-                             policy=policy, media_store=media_store)
+                             policy=policy, media_store=media_store,
+                             model=model)
         self.policy = policy
         self.offset_range = offset_range
         self.with_stats = with_stats
 
     def _extract_doc(self, spans: list[dict]) -> tuple[list[dict], int]:
         out = []
-        n_media = 0
         if self.offset_range is not None:
             lo, hi = self.offset_range
             spans = [s for s in spans if lo <= s["offset"] < hi]
-        for s in sorted(spans, key=lambda s: s["offset"]):
+        spans = sorted(spans, key=lambda s: s["offset"])
+        # resolve the doc's media refs in one pass, transcribe them in
+        # ONE batched inference call (the model seam batches per doc on
+        # this plan; the canonical plan batches across documents)
+        media_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
+        status, keys, payloads = self._ocr.resolve_batch(media_refs)
+        for k in keys:
+            self._ocr._burn(k)
+        outs_per_ok = self._ocr.infer_texts(payloads, keys)
+        st_iter, ok_iter = iter(status), iter(outs_per_ok)
+        for s in spans:
             kind = s["kind"]
             if kind == "text":
                 t = s["text"].strip()
@@ -195,39 +238,34 @@ class FusedExtractor:
                 out.extend(("text", t, "") for t in parse_pdf_stage(s["text"]))
             elif kind == "media":
                 ref = s["media_ref"]
-                if ref.endswith(CORRUPT_SUFFIX):
+                st = next(st_iter)
+                if st == "corrupt":
                     out.append(("error", ERROR_TEXT, ref))
+                elif st == "missing":
+                    out.append(
+                        ("error", OcrModel.MISSING_MEDIA.format(ref=ref), ref)
+                    )
                 else:
-                    key, ok = self._ocr._transcribe_key(ref)
-                    if not ok:
-                        out.append(
-                            ("error",
-                             OcrModel.MISSING_MEDIA.format(ref=ref), ref)
-                        )
-                    else:
-                        self._ocr._burn(ref)
-                        n_media += 1
-                        out.extend(
-                            ("ocr", t, ref)
-                            for t in mode_transcript(key, self.policy)
-                        )
+                    out.extend(("ocr", t, ref) for t in next(ok_iter))
             else:
                 out.append(("error", unsupported_text(kind), s["media_ref"]))
         return [
             {"kind": k, "text": t, "media_ref": m, "order": i}
             for i, (k, t, m) in enumerate(out)
-        ], n_media
+        ], len(keys)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
 
         rows = batch.to_pylist()
         out = []
+        media_counts = []
         batch_media = 0
         for r in rows:
             t0 = time.perf_counter()
             spans, n_media = self._extract_doc(r["spans"])
             batch_media += n_media
+            media_counts.append(n_media)
             row = {"doc_id": r["doc_id"], "spans": spans}
             if self.with_stats:
                 row["engine"] = spans[0]["kind"] if spans else ""
@@ -238,7 +276,15 @@ class FusedExtractor:
             out.append(row)
         # one batched sleep per call: batched inference amortizes per-call
         # latency; per-span cost is what scales (see OcrModel)
+        t_sleep = time.perf_counter()
         self._ocr.simulate_latency(batch_media)
+        if self.with_stats and batch_media:
+            # amortize the batch sleep into each doc's ocr_ms by its
+            # media-span share, so fused and canonical plans report the
+            # same latency metric for the same corpus
+            slept_ms = (time.perf_counter() - t_sleep) * 1e3
+            for row, n_media in zip(out, media_counts):
+                row["ocr_ms"] += slept_ms * n_media / batch_media
         schema = REASSEMBLED_SCHEMA if self.with_stats else EXTRACTED_SCHEMA
         return pa.Table.from_pylist(out, schema=schema)
 
@@ -246,7 +292,7 @@ class FusedExtractor:
 def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
                    batch_size: int | None = None, concurrency=None,
                    num_cpus=None, policy: str = "text", offset_range=None,
-                   media_store=None, with_stats: bool = False):
+                   media_store=None, with_stats: bool = False, model=None):
     """documents Dataset → extracted Dataset, zero-shuffle plan."""
     auto_conc, auto_cpus, auto_bs = _pool_sizing(ocr_burn, ocr_latency_ms)
     if concurrency is None:
@@ -269,6 +315,7 @@ def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
             "offset_range": offset_range,
             "media_store": media_store,
             "with_stats": with_stats,
+            "model": model,
         },
     )
 
@@ -296,7 +343,10 @@ def choose_plan(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
         sample = docs.limit(sample_docs).take_batch(
             sample_docs, batch_format="pyarrow"
         )
-    except Exception:  # empty corpus: nothing to probe, either plan is fine
+    except ValueError:
+        # take_batch raises ValueError only for an exhausted/empty
+        # dataset: nothing to probe, either plan is fine.  Real read
+        # errors (corrupt parquet, permissions) propagate.
         return "fused"
     spans = sample["spans"]
     kinds = pc.struct_field(pc.list_flatten(spans), "kind")
@@ -317,7 +367,7 @@ def auto_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
                   policy: str = "text", offset_range=None,
                   ocr_batch_size: int | None = None, ocr_concurrency=None,
                   ocr_num_cpus=None, with_stats: bool = False,
-                  plan: str | None = None):
+                  plan: str | None = None, model=None):
     """The engine's default: probe skew, then run the fused
     (zero-shuffle) plan for bounded-skew corpora or the canonical
     salted-split plan for heavy-tailed ones.  Returns (plan_name, ds).
@@ -336,14 +386,14 @@ def auto_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
                              policy=policy, offset_range=offset_range,
                              concurrency=ocr_concurrency,
                              num_cpus=ocr_num_cpus,
-                             with_stats=with_stats)
+                             with_stats=with_stats, model=model)
     else:
         out = extract_pipeline(docs, ocr_burn=ocr_burn,
                                ocr_latency_ms=ocr_latency_ms,
                                policy=policy, offset_range=offset_range,
                                ocr_concurrency=ocr_concurrency,
                                ocr_num_cpus=ocr_num_cpus,
-                               with_stats=with_stats,
+                               with_stats=with_stats, model=model,
                                **({} if ocr_batch_size is None
                                   else {"ocr_batch_size": ocr_batch_size}))
     return plan, out

@@ -44,7 +44,7 @@ class OcrModel:
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
                  policy: str = "text", media_store=None,
-                 stamp_batches: bool = False):
+                 stamp_batches: bool = False, model=None):
         # "load the model": in the real engine this is where weights land
         # on the device; here we pre-touch the transcription vocab and
         # keep the cost knobs.  ``policy`` is the mode dispatch of the
@@ -71,6 +71,14 @@ class OcrModel:
         except ImportError:
             pass
         self.media_store = media_store
+        # ``model`` is the real-engine adapter seam (the typed analog of
+        # the engine dispatch at ``ocr_router.py:177-217``): a batched
+        # callable ``payloads -> one transcript per payload``, where a
+        # payload is the media bytes when ``media_store`` resolves the
+        # ref, else the ref string.  Inject a TrOCR/Ollama/Tesseract
+        # wrapper here to swap mock for real inference as pure config;
+        # ``None`` keeps the deterministic mock-policy contract.
+        self.model = model
         self.stamp_batches = stamp_batches  # test hook: tag rows with call id
         self._calls = 0
         self._warm = mock_transcript("media://warmup/0")
@@ -119,6 +127,54 @@ class OcrModel:
         tag = f"{os.getpid()}:{id(self)}:{self._calls}"
         return t.append_column("ocr_batch", pa.array([tag] * len(t)))
 
+    def resolve_batch(self, refs: list[str]):
+        """One resolution pass for a batch's media refs.
+
+        Returns ``(status, keys, payloads)``: ``status[j]`` is
+        ``"corrupt"`` / ``"missing"`` / ``"ok"`` per ref; ``keys`` and
+        ``payloads`` hold the transcription key and model payload for
+        the OK refs in order.  Resolving BEFORE the latency sleep means
+        ``n_infer`` counts only spans the model actually sees — corrupt
+        payloads and refs absent from the sidecar store charge no
+        inference wall time.
+        """
+        status, keys, payloads = [], [], []
+        for ref in refs:
+            if ref.endswith(CORRUPT_SUFFIX):
+                status.append("corrupt")
+                continue
+            key, ok = self._transcribe_key(ref)
+            if not ok:
+                status.append("missing")
+                continue
+            status.append("ok")
+            keys.append(key)
+            payloads.append(
+                self.resolve_media(ref) if self.media_store is not None
+                else ref
+            )
+        return status, keys, payloads
+
+    def infer_texts(self, payloads: list, keys: list[str]) -> list[list[str]]:
+        """Batched inference: ordered output texts per media payload.
+
+        With an injected ``model`` this is ONE batched call over the
+        payloads (real engines amortize per-call cost over the batch,
+        the reference's per-image loop at ``ocr_router.py:383-415``
+        turned batch-first); each transcript becomes a single output
+        span.  Without one, the deterministic mock policy contract maps
+        each KEY to its ordered sub-span texts (R4-R9 mode dispatch).
+        """
+        if self.model is not None:
+            texts = self.model(payloads)
+            if len(texts) != len(payloads):
+                raise ValueError(
+                    f"injected model returned {len(texts)} transcripts "
+                    f"for {len(payloads)} payloads"
+                )
+            return [[t] for t in texts]
+        return [mode_transcript(k, self.policy) for k in keys]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         kind = np.asarray(batch.column("kind"))
@@ -133,26 +189,26 @@ class OcrModel:
         texts = batch.column("text").to_pylist()
         kinds = kind.tolist()
         media_idx = np.nonzero(is_media)[0]
-        n_infer = sum(
-            1 for i in media_idx if not refs[i].endswith(CORRUPT_SUFFIX)
-        )
-        self.simulate_latency(n_infer)
-        if self.policy == "text":
+        status, keys, payloads = self.resolve_batch([refs[i] for i in media_idx])
+        self.simulate_latency(len(keys))
+        for k in keys:
+            self._burn(k)
+        outs_per_ok = self.infer_texts(payloads, keys)
+        single_out = self.model is not None or self.policy == "text"
+        if single_out:
             # fast path: exactly one output per media span, in place
-            for i in media_idx:
-                ref = refs[i]
-                if ref.endswith(CORRUPT_SUFFIX):
+            j = 0
+            for i, st in zip(media_idx, status):
+                if st == "corrupt":
                     kinds[i] = "error"
                     texts[i] = ERROR_TEXT
+                elif st == "missing":
+                    kinds[i] = "error"
+                    texts[i] = self.MISSING_MEDIA.format(ref=refs[i])
                 else:
-                    key, ok = self._transcribe_key(ref)
-                    if not ok:
-                        kinds[i] = "error"
-                        texts[i] = self.MISSING_MEDIA.format(ref=ref)
-                    else:
-                        self._burn(ref)
-                        kinds[i] = "ocr"
-                        texts[i] = mock_transcript(key)
+                    kinds[i] = "ocr"
+                    texts[i] = outs_per_ok[j][0]
+                    j += 1
             elapsed_ms = (time.perf_counter() - t0) * 1e3
             per_row = elapsed_ms / len(media_idx)
             ocr_ms = np.zeros(n)
@@ -175,6 +231,8 @@ class OcrModel:
         offs = batch.column("offset").to_pylist()
         subs = batch.column("sub").to_pylist()
         is_media_l = is_media.tolist()
+        status_by_row = dict(zip(media_idx.tolist(), status))
+        ok_outs_iter = iter(outs_per_ok)
         o_doc, o_off, o_sub, o_kind, o_text, o_ref, o_ms = (
             [], [], [], [], [], [], []
         )
@@ -187,16 +245,13 @@ class OcrModel:
                 o_ms.append(0.0)
                 continue
             ref = refs[i]
-            if ref.endswith(CORRUPT_SUFFIX):
+            st = status_by_row[i]
+            if st == "corrupt":
                 outs = [("error", ERROR_TEXT)]
+            elif st == "missing":
+                outs = [("error", self.MISSING_MEDIA.format(ref=ref))]
             else:
-                key, ok = self._transcribe_key(ref)
-                if not ok:
-                    outs = [("error", self.MISSING_MEDIA.format(ref=ref))]
-                else:
-                    self._burn(ref)
-                    outs = [("ocr", t)
-                            for t in mode_transcript(key, self.policy)]
+                outs = [("ocr", t) for t in next(ok_outs_iter)]
             for j, (k, t) in enumerate(outs):
                 o_doc.append(docs[i]); o_off.append(offs[i])
                 o_sub.append(j); o_kind.append(k)
