@@ -20,10 +20,11 @@ _TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, onb=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    kw = {} if onb is None else {"override_num_blocks": onb}
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
 # --- corpus synthesis sizing for the extraction queries ---------------------
@@ -250,12 +251,15 @@ def q_structured_receipts(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # 16 blocks: every downstream sort/aggregate task is one driver
+    # dispatch (~16-44/s ceiling, BASELINE.md); the documents table is
+    # small relative to the block target, so fewer/larger tasks win
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=16)
     return dedup.minhash_dup_pairs(ds, threshold=0.8)
 
 
 def q_simhash_dedup(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=16)
     return dedup.simhash_dup_pairs(ds, max_hamming=3)
 
 
@@ -506,7 +510,7 @@ def q_sessionize(sf_dir: str):
 
 
 def q_ngram_dedup(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=16)
     return dedup.ngram_dup_pairs(ds, threshold=0.5)
 
 

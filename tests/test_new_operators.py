@@ -348,3 +348,16 @@ def test_media_store_broadcast_lookup(ray_session):
     assert got_c[0] == got_c[1]                       # same bytes, same text
     assert got_c[0][0] == "ocr"
     assert got_c[2][0] == "error" and "media not found" in got_c[2][1]
+
+
+def test_ngram_band_exchange_carries_no_text(ray_session):
+    """VERDICT r1 #2 done-criterion: the LSH band exchange must shuffle
+    only (bucket, doc_id) — never the document text (round 1 amplified
+    text 16x through the band groupby)."""
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "text": f"document number {i} body text"}
+            for i in range(8)]
+    band = dedup.ngram_band_rows(rd.from_items(rows))
+    cols = set(band.schema().names)
+    assert cols == {"bucket", "doc_id"}
