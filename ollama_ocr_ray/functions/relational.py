@@ -354,6 +354,103 @@ def asof_last_order(events, orders_by_cust: dict):
     return events.map_batches(lookup, batch_format="pyarrow")
 
 
+def asof_last_order_partitioned(events, orders):
+    """Co-partitioned as-of join (VERDICT r1 #3): the orders side is a
+    FACT table, so instead of materializing it driver-side (the
+    broadcast variant below, kept for genuinely small sides), both
+    sides union into keyed rows and ONE sort exchange co-locates each
+    customer's orders with their events.  The per-block merge is a
+    vectorized grouped forward-fill: after a block-local
+    (key, ts, side) sort, ``maximum.accumulate`` over order-row
+    positions gives every event its latest at-or-before order in O(n),
+    no per-key Python loop.  Orders sort before events at equal ts, so
+    a same-instant order counts (at-or-before semantics, ties with the
+    DuckDB oracle's ``o_orderdate <= ts``).
+
+    Reference behavior generalized: the reference has no joins at all;
+    this is the training-data-pipeline operator suite (SURVEY §2.8).
+    """
+    keyed_schema = pa.schema(
+        [("k", pa.int64()), ("side", pa.int8()), ("ts", pa.int64()),
+         ("event_id", pa.int64())]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        n = len(batch)
+        return pa.table(
+            {
+                "k": batch.column("o_custkey").cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "ts": batch.column("o_orderdate").cast(pa.int64()),
+                "event_id": pa.nulls(n, type=pa.int64()),
+            }
+        ).cast(keyed_schema)
+
+    def event_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        n = len(batch)
+        return pa.table(
+            {
+                "k": batch.column("user_id").cast(pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+            }
+        ).cast(keyed_schema)
+
+    keyed = orders.map_batches(
+        order_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        events.map_batches(
+            event_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("last_order_date", pa.timestamp("us"))]
+    )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("k", "ascending"), ("ts", "ascending"),
+                       ("side", "ascending")],
+        )
+        batch = batch.take(idx).combine_chunks()
+        k = np.asarray(batch.column("k"))
+        side = np.asarray(batch.column("side"))
+        ts = np.asarray(batch.column("ts"))
+        n = len(k)
+        # grouped forward-fill: position of the latest order row at or
+        # before each row; valid only when it belongs to the same key
+        pos = np.where(side == 0, np.arange(n), -1)
+        last_pos = np.maximum.accumulate(pos)
+        evt = side == 1
+        lp = last_pos[evt]
+        found = lp >= 0
+        same = np.zeros(len(lp), dtype=bool)
+        same[found] = k[evt][found] == k[lp[found]]
+        dates = np.where(same, ts[np.maximum(lp, 0)], 0)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").filter(pa.array(evt)),
+                "user_id": pa.array(k[evt]),
+                "last_order_date": pa.array(
+                    dates, type=pa.int64(), mask=~same
+                ).cast(pa.timestamp("us")),
+            }
+        ).cast(out_schema)
+
+    return keyed.sort("k").map_batches(
+        merge_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def build_orders_by_cust(orders_table: pa.Table) -> dict:
     """Driver-side small-side build for asof_last_order: custkey →
     ascending int64(us) order-date array (ray.put once on real

@@ -361,3 +361,101 @@ def test_ngram_band_exchange_carries_no_text(ray_session):
     band = dedup.ngram_band_rows(rd.from_items(rows))
     cols = set(band.schema().names)
     assert cols == {"bucket", "doc_id"}
+
+
+def test_asof_partitioned_matches_broadcast(ray_session):
+    """The co-partitioned as-of merge must agree with the broadcast
+    binary-search variant row for row (including never-ordered users
+    and equal-timestamp at-or-before ties)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n_ev, n_ord = 400, 150
+    ev_t = pa.table({
+        "event_id": pa.array(np.arange(n_ev), type=pa.int64()),
+        "user_id": pa.array(rng.integers(1, 40, n_ev), type=pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n_ev) * 1_000_000,
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    # include an exact tie: order date == event ts for user 1
+    od = rng.integers(0, 10_000, n_ord) * 1_000_000
+    oc = rng.integers(1, 30, n_ord)  # users 30..39 never order
+    oc[0], od[0] = 1, ev_t.column("ts")[0].cast(pa.int64()).as_py()
+    ord_t = pa.table({
+        "o_custkey": pa.array(oc, type=pa.int64()),
+        "o_orderdate": pa.array(od, type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    want = {
+        r["event_id"]: r["last_order_date"]
+        for r in _collect(relational.asof_last_order(
+            rd.from_arrow(ev_t), relational.build_orders_by_cust(ord_t)
+        )).to_pylist()
+    }
+    got = {
+        r["event_id"]: r["last_order_date"]
+        for r in _collect(relational.asof_last_order_partitioned(
+            rd.from_arrow(ev_t).repartition(5),
+            rd.from_arrow(ord_t).repartition(3),
+        )).to_pylist()
+    }
+    assert got == want
+
+
+def test_embedding_near_dup_blocked_exact(ray_session):
+    """Block-pair all-pairs must equal the driver-side exact answer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n, dim = 300, 16
+    mat = rng.normal(size=(n, dim))
+    mat[50] = mat[10] + rng.normal(scale=0.05, size=dim)   # planted dup
+    mat[200] = mat[120] + rng.normal(scale=0.05, size=dim)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float64())),
+    })
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu, ju = np.triu_indices(n, k=1)
+    hit = sims[iu, ju] >= 0.7
+    want = set(zip(iu[hit].tolist(), ju[hit].tolist()))
+    out = _collect(similarity.embedding_near_dup_blocked(
+        rd.from_arrow(t).repartition(5), threshold=0.7, n_blocks=4))
+    got = set(zip(out.column("a_id").to_pylist(), out.column("b_id").to_pylist()))
+    assert got == want and (10, 50) in got and (120, 200) in got
+
+
+def test_embedding_near_dup_lsh_recall(ray_session):
+    """Banded hyperplane LSH at a high threshold must find every
+    planted near-dup pair the exact plan finds (recall 1.0 here; the
+    docstring formula governs tuning)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 32
+    mat = rng.normal(size=(n, dim))
+    for a, b in [(7, 300), (42, 101), (250, 399)]:
+        mat[b] = mat[a] + rng.normal(scale=0.05, size=dim)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float64())),
+    })
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu, ju = np.triu_indices(n, k=1)
+    hit = sims[iu, ju] >= 0.85
+    want = set(zip(iu[hit].tolist(), ju[hit].tolist()))
+    out = _collect(similarity.embedding_near_dup_lsh(
+        rd.from_arrow(t).repartition(4), threshold=0.85, dim=dim,
+        n_planes=8, n_tables=12))
+    got = set(zip(out.column("a_id").to_pylist(), out.column("b_id").to_pylist()))
+    assert want <= got         # full recall on the planted set
+    assert got == want         # precision is exact (in-bucket verify)
