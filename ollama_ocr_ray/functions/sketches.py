@@ -33,11 +33,14 @@ def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
     # low bits padded with ones so the value is never 0 and the rank is
     # naturally capped at 64-p+1
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
-    # leading-zero count via float log2 (rest != 0 by construction; the
-    # float64 mantissa cannot misplace the MSB position)
-    lz = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
-    lz = np.maximum(lz, 0)  # log2 of values near 2^64 can round to 64
-    rank = (lz + 1).astype(np.uint8)
+    # EXACT integer leading-zero count: smear the MSB down, popcount.
+    # (A float64 log2 can round values within half an ulp below a power
+    # of two UP to it, overstating the rank — e.g. rest = 2^60 - 1.)
+    x = rest.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    pop = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
+    rank = (64 - pop + 1).astype(np.uint8)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs

@@ -93,15 +93,38 @@ class MediaDecoder:
     path when pillow/libav are available.
     """
 
-    def __init__(self, strict: bool = False):
-        self._codec = _load_pillow()
+    def __init__(self, strict: bool = False, force_fake: bool = False):
+        # resolve the codec ONCE per actor; pillow is the real path when
+        # importable, the deterministic fake is the fallback (and is
+        # forceable for reproducible tests).  strict=True refuses to run
+        # without a real codec.
+        self._codec = None if force_fake else _load_pillow()
         self._strict = strict
+        self._decode = (
+            self._real_decode if self._codec is not None else self._fake_decode
+        )
 
     def _fake_decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         # deterministic stand-in for decoded pixels: byte histogram
         counts = np.bincount(np.frombuffer(payload, dtype=np.uint8),
                              minlength=256).astype(np.float32)
         return counts / max(1, len(payload))
+
+    def _real_decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        """Pillow path: decode the image bytes, grayscale, normalized
+        256-bin pixel histogram — same output contract as the fake, so
+        downstream stages are codec-agnostic.  Undecodable payloads
+        fall back to the byte histogram (inline-error-and-continue,
+        the per-page semantics of ``ocr_router.py:296-298``)."""
+        import io
+
+        try:
+            img = self._codec.open(io.BytesIO(payload)).convert("L")
+        except Exception:
+            return self._fake_decode(payload, width, height)
+        px = np.asarray(img, dtype=np.uint8).ravel()
+        counts = np.bincount(px, minlength=256).astype(np.float32)
+        return counts / max(1, len(px))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._codec is None and self._strict:
@@ -114,7 +137,7 @@ class MediaDecoder:
         widths = batch.column("width").to_pylist()
         heights = batch.column("height").to_pylist()
         hists = np.stack(
-            [self._fake_decode(p, w, h) for p, w, h in zip(payloads, widths, heights)]
+            [self._decode(p, w, h) for p, w, h in zip(payloads, widths, heights)]
         )
         mean = hists.mean(axis=1)
         std = hists.std(axis=1)

@@ -36,13 +36,42 @@ def test_synth_media_deterministic():
     assert a.column("payload")[0].as_py() != a.column("payload")[1].as_py()
 
 
-def test_media_decoder_fake_and_strict():
+def _pillow_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize("codec", [
+    "fake",
+    pytest.param("real", marks=pytest.mark.skipif(
+        not _pillow_available(), reason="pillow not in this container")),
+])
+def test_media_decoder_fake_and_real(codec):
+    """Decode contract holds on both codec paths: pillow when
+    importable, the deterministic fake otherwise (VERDICT r1 #7)."""
     t = synth_media_table(["m1", "m2", "m3"])
-    out = MediaDecoder()(t)
+    dec = MediaDecoder(force_fake=(codec == "fake"))
+    if codec == "real":
+        assert dec._codec is not None
+        assert dec._decode == dec._real_decode
+    out = dec(t)
     assert out.num_rows == 3
     assert set(out.schema.names) >= {"media_ref", "decoded_mean", "byte_len"}
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(strict=True)(t)  # no codec in this container
+    # synthetic payloads are not real images: the real path must fall
+    # back per-row, never crash the batch
+    assert all(v >= 0 for v in out.column("decoded_mean").to_pylist())
+
+
+def test_media_decoder_strict_requires_codec():
+    t = synth_media_table(["m1"])
+    if _pillow_available():
+        MediaDecoder(strict=True)(t)  # codec present: strict is fine
+    else:
+        with pytest.raises(NotImplementedError):
+            MediaDecoder(strict=True)(t)
 
 
 def test_feature_extractor_shape_and_determinism():
