@@ -919,6 +919,37 @@ def oracle_sql() -> dict:
         # exact char-9-gram Jaccard over all pairs — quadratic, which
         # is fine for the oracle at sf0.01 (the Ray plan uses LSH
         # banding + candidate verify instead)
+        # exact word-3-shingle Jaccard over all pairs — quadratic, fine
+        # for the oracle at sf0.01 (the Ray plan is MinHash-LSH banding
+        # + exact verify on LSH candidates; with r=4 rows x b=16 bands
+        # the miss probability at the 0.8 threshold is ~2e-4 and the
+        # fixed seed pins the output, so the sets match exactly).  The
+        # threshold is applied as intersect/union >= 0.8 (NOT
+        # intersect >= 0.8*union): 0.8 is inexact in binary and the two
+        # forms round differently at the boundary; the division form is
+        # what the Ray verify stage computes.
+        "minhash_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                       ELSE list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       END) AS s
+              FROM toks
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        """,
         "ngram_dedup": """
             WITH sh AS (
               SELECT doc_id,

@@ -67,12 +67,16 @@ def test_minhash_finds_planted_near_dups(ray_session):
                                 concurrency=1)
     ).to_pylist()
     pairs = {(r["a_id"], r["b_id"]) for r in out}
-    assert (10, 40) in pairs          # exact dup: est 1.0
+    assert (10, 40) in pairs          # exact dup: jaccard 1.0
     assert (10, 20) in pairs          # near dup: high jaccard
     assert not any(30 in p for p in pairs)
+    # the verify stage reports EXACT word-3-shingle Jaccard (the same
+    # quantity ngram_jaccard computes independently)
     exact = dedup.ngram_jaccard(base, near)
-    est = next(r["est_jaccard"] for r in out if (r["a_id"], r["b_id"]) == (10, 20))
-    assert abs(est - exact) < 0.25    # 64-perm estimator tolerance
+    got = next(r["jaccard"] for r in out if (r["a_id"], r["b_id"]) == (10, 20))
+    assert abs(got - exact) < 1e-12
+    full = next(r["jaccard"] for r in out if (r["a_id"], r["b_id"]) == (10, 40))
+    assert full == 1.0
 
 
 def test_simhash_near_identical_pair(ray_session):
