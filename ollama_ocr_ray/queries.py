@@ -966,6 +966,48 @@ def oracle_sql() -> dict:
             WHERE len(list_intersect(a.s, b.s))
                   >= 0.5 * len(list_distinct(list_concat(a.s, b.s)))
         """,
+        # full 60-bit SimHash recomputed in SQL (token hash = Karp-Rabin
+        # codepoint chain + two multiplicative mix rounds, mirroring
+        # functions/text.py:_token_hash60 exactly), then all pairs with
+        # Hamming distance <= 3.  Quadratic all-pairs is fine for the
+        # oracle at sf0.01; the Ray plan's 4x15-bit banding has recall 1
+        # for <= 3 differing bits by pigeonhole, so the sets match
+        # exactly (no probabilistic slack, unlike minhash_dedup).
+        "simhash_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), hs AS (
+              SELECT doc_id,
+                     list_transform(t, tok ->
+                       CAST((CAST((CAST(list_reduce(
+                              list_prepend(CAST(0 AS HUGEINT),
+                                list_transform(split(tok, ''),
+                                  c -> CAST(unicode(c) AS HUGEINT))),
+                              (h, b) -> (h * 262147 + b + 1)
+                                        % 2305843009213693951) AS HUGEINT)
+                             * 1220703125 + 104729)
+                            % 2305843009213693951 AS HUGEINT)
+                            * 906585445 + 2654435761)
+                           % 2305843009213693951 AS BIGINT)) AS hv
+              FROM toks
+            ), sh AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(range(0, 60),
+                       i -> CASE WHEN coalesce(list_sum(list_transform(hv,
+                              h -> 2 * ((h >> i) & 1) - 1)), 0) > 0
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0)
+                       AS simhash
+              FROM hs
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         # the HLL estimate's driver-checkable accuracy gate: within 5%
         # of exact per event_type (raw estimate pinned to +-2% in tests)
         "approx_users": """
