@@ -5,12 +5,14 @@ Scale notes (the part that matters at 100 TB):
   vectorized per batch, *partial* (hash → min doc_id, count) aggregates
   are emitted per batch, and only those partials go through the
   ``groupby`` exchange (pre-aggregation pattern).
-- MinHash-LSH shuffles only (band_id, band_hash, doc_id, signature)
-  rows — signatures are ~``num_perm×8`` bytes, not documents; candidate
-  pairs are verified from signatures inside the band groups, so no
-  second join over the corpus.
-- SimHash banding shuffles 4×16-bit band keys per doc and verifies
+- MinHash-LSH (word- and char-shingle) shuffles only (bucket, doc_id)
+  rows through the band exchange — no text, no signatures; candidate
+  pairs re-join text once by doc_id and verify EXACT shingle Jaccard
+  (``_lsh_exact_pairs``).
+- SimHash banding shuffles 4×15-bit band keys per doc and verifies
   Hamming distance inside groups.
+- dup_clusters iterates min-label propagation over the candidate-pair
+  graph only — exchanges are O(pairs), never O(corpus).
 """
 
 from __future__ import annotations
@@ -630,4 +632,122 @@ def ngram_dup_pairs(docs, *, k: int = 9, threshold: float = 0.5,
         docs, band_rows,
         lambda t: {t[j:j + k] for j in range(max(1, len(t) - k + 1))},
         threshold,
+    )
+
+
+# --- dup clusters (connected components over candidate pairs) ---------------
+
+
+def _cc_propagate_block(batch: pa.Table) -> pa.Table:
+    """One sorted-(key) block of union(edges tagged 0, labels tagged 1):
+    per key segment, read the node's current label (exactly one tagged
+    row per key) and emit it to the node itself and every neighbor.
+    Fully vectorized: per-row segment index via searchsorted, one fancy-
+    index gather for the segment labels."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"key": pa.array([], type=pa.int64()),
+             "val": pa.array([], type=pa.int64())}
+        )
+    batch = batch.combine_chunks()
+    key = batch.column("key").to_numpy(zero_copy_only=False)
+    val = batch.column("val").to_numpy(zero_copy_only=False)
+    is_label = batch.column("is_label").to_numpy(zero_copy_only=False)
+    starts, _ = _segment_bounds(batch.column("key"))
+    seg_of_row = np.searchsorted(starts, np.arange(len(key)), side="right") - 1
+    lab_mask = is_label.astype(bool)
+    seg_label = np.empty(len(starts), dtype=np.int64)
+    seg_label[seg_of_row[lab_mask]] = val[lab_mask]
+    # edge rows send the segment label to their neighbor; the label row
+    # keeps it on the node itself
+    out_key = np.concatenate([val[~lab_mask], key[lab_mask]])
+    out_val = np.concatenate(
+        [seg_label[seg_of_row[~lab_mask]], val[lab_mask]]
+    )
+    return pa.table(
+        {"key": pa.array(out_key, type=pa.int64()),
+         "val": pa.array(out_val, type=pa.int64())}
+    )
+
+
+def dup_clusters(pairs, *, max_iter: int = 16):
+    """(a_id, b_id) pair Dataset → (doc_id, cluster_id): connected
+    components of the duplicate-candidate graph, cluster_id = the
+    component's minimum doc_id.  This is the step that turns pairwise
+    near-dup output into keep-one-per-cluster dedup decisions.
+
+    Plan: min-label propagation.  labels start as each node's min
+    neighbor; each round unions the (tiny) edge list with the current
+    labels, sorts by node — group key == full sort key, so sort ranges
+    cannot split a segment — and every node broadcasts its label to its
+    neighbors; a Min-aggregate exchange folds received labels.  Rounds
+    needed = graph diameter; dup clusters are near-cliques (diameter
+    1-2) so 2-3 rounds close in practice, ``max_iter`` bounds
+    pathological chains.
+
+    Scale: every exchange moves (int64, int64) rows, O(candidate
+    pairs) — orders of magnitude below the corpus; the iteration
+    materializes only the label set (nodes appearing in some pair),
+    which is the op's own output size.  Convergence is detected on the
+    driver from sum(label), monotone non-increasing per node.
+    """
+    from ray.data.aggregate import Min
+
+    def symmetric_edges(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        a = batch.column("a_id").to_numpy(zero_copy_only=False)
+        b = batch.column("b_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array(np.concatenate([a, b]), type=pa.int64()),
+             "val": pa.array(np.concatenate([b, a]), type=pa.int64()),
+             "is_label": pa.array(
+                 np.zeros(2 * len(a), dtype=np.int8), type=pa.int8()
+             )}
+        )
+
+    edges = pairs.map_batches(
+        symmetric_edges, batch_format="pyarrow"
+    ).materialize()
+
+    # round 0: label[u] = min(u, min neighbors) in one exchange
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {"key": b.column("key"),
+                 "val": pc.min_element_wise(b.column("key"), b.column("val"))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("key")
+        .aggregate(Min("val", alias_name="val"))
+        .materialize()
+    )
+    prev_sum = labels.sum("val")
+
+    for _ in range(max_iter):
+        tagged = labels.map_batches(
+            lambda b: b.append_column(
+                "is_label", pa.array(np.ones(b.num_rows, dtype=np.int8))
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            edges.union(tagged)
+            .sort("key")
+            .map_batches(_cc_propagate_block, batch_size=None,
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("key")
+            .aggregate(Min("val", alias_name="val"))
+            .materialize()
+        )
+        s = labels.sum("val")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("key"), "cluster_id": b.column("val")}
+        ),
+        batch_format="pyarrow",
     )

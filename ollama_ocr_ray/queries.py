@@ -21,6 +21,38 @@ _LTOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
               "x -> x <> '')")
 _BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
+# exact word-3-shingle Jaccard over all pairs — quadratic, fine for the
+# oracle at sf0.01 (the Ray plan is MinHash-LSH banding + exact verify
+# on LSH candidates; with r=4 rows x b=16 bands the miss probability at
+# the 0.8 threshold is ~2e-4 and the fixed seed pins the output, so the
+# sets match exactly).  The threshold is applied as intersect/union >=
+# 0.8 (NOT intersect >= 0.8*union): 0.8 is inexact in binary and the
+# two forms round differently at the boundary; the division form is
+# what the Ray verify stage computes.  Shared by the minhash_dedup and
+# dup_clusters oracles.
+_MINHASH_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               END) AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+"""
+
 
 def _read(sf_dir: str, table: str, columns=None, onb=None):
     import ray.data as rd
@@ -266,6 +298,15 @@ def q_minhash_dedup(sf_dir: str):
 def q_simhash_dedup(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=16)
     return dedup.simhash_dup_pairs(ds, max_hamming=3)
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup pairs → connected components → keep-one-per-cluster
+    assignment (the decision step a training-data dedup pipeline runs
+    after pair generation)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=16)
+    pairs = dedup.minhash_dup_pairs(ds, threshold=0.8)
+    return dedup.dup_clusters(pairs)
 
 
 def q_lang_id(sf_dir: str):
@@ -625,6 +666,7 @@ def queries() -> dict:
         "structured_receipts": q_structured_receipts,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "dup_clusters": q_dup_clusters,
         "ngram_dedup": q_ngram_dedup,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -916,40 +958,28 @@ def oracle_sql() -> dict:
                 AS fingerprint
             FROM documents
         """,
+        "minhash_dedup": _MINHASH_PAIRS_SQL,
+        # transitive closure of the minhash pair graph via a recursive
+        # CTE (fine at sf0.01 pair counts); cluster_id = the reachable
+        # set's min doc_id, matching min-label propagation's fixpoint
+        "dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+            edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs
+            ),
+            reach AS (
+              SELECT u AS node, v AS r FROM edges
+              UNION
+              SELECT e.u AS node, r.r FROM edges e
+              JOIN reach r ON r.node = e.v
+            )
+            SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+            FROM reach GROUP BY node
+        """,
         # exact char-9-gram Jaccard over all pairs — quadratic, which
         # is fine for the oracle at sf0.01 (the Ray plan uses LSH
         # banding + candidate verify instead)
-        # exact word-3-shingle Jaccard over all pairs — quadratic, fine
-        # for the oracle at sf0.01 (the Ray plan is MinHash-LSH banding
-        # + exact verify on LSH candidates; with r=4 rows x b=16 bands
-        # the miss probability at the 0.8 threshold is ~2e-4 and the
-        # fixed seed pins the output, so the sets match exactly).  The
-        # threshold is applied as intersect/union >= 0.8 (NOT
-        # intersect >= 0.8*union): 0.8 is inexact in binary and the two
-        # forms round differently at the boundary; the division form is
-        # what the Ray verify stage computes.
-        "minhash_dedup": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(text, '\\s+'),
-                                 x -> x <> '') AS t
-              FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     list_distinct(
-                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                       ELSE list_transform(range(1, len(t) - 1),
-                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                       END) AS s
-              FROM toks
-            )
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        """,
         "ngram_dedup": """
             WITH sh AS (
               SELECT doc_id,
