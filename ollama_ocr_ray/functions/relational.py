@@ -693,3 +693,176 @@ def top_orders_per_segment(orders, customer_lookup: dict, n: int = 3):
     return partials.groupby("c_mktsegment").map_groups(
         final_group, batch_format="pyarrow"
     )
+
+
+# --- general large-x-large equi-join ----------------------------------------
+
+
+def hash_join(left, right, *, key: str, left_cols: list[str],
+              right_cols: list[str]):
+    """Inner equi-join of two LARGE Datasets by co-partitioning: tag
+    both sides into one aligned schema, ONE sort exchange on the key,
+    then a vectorized per-block merge (cross product inside each key
+    segment).  This is the fact-x-fact join primitive the broadcast
+    joins (``segment_revenue``, ``top_suppliers``) cannot cover — at
+    100 TB neither side fits a driver dict.
+
+    Partitioning assumption (documented per the survey convention):
+    Ray's range-partitioned sort places equal keys in one block — the
+    same invariant ``groupby`` relies on.  A heavily skewed hot key
+    therefore serializes into a single merge task; pre-aggregate the
+    skewed side first (``top_unshipped_orders`` does) or salt the key.
+    Each side's payload crosses the wire exactly once.
+    """
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    ltypes = {f.name: f.type for f in lschema}
+    rtypes = {f.name: f.type for f in rschema}
+    key_type = ltypes[key]
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            n = batch.num_rows
+            cols = {
+                "__k": batch.column(key).cast(key_type),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in left_cols:
+                cols[c] = (batch.column(c) if side == 0
+                           else pa.nulls(n, type=ltypes[c]))
+            for c in right_cols:
+                cols[c] = (batch.column(c) if side == 1
+                           else pa.nulls(n, type=rtypes[c]))
+            return pa.table(cols)
+        return fn
+
+    tagged = left.select_columns([key] + left_cols).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(
+        right.select_columns([key] + right_cols).map_batches(
+            tag(1), batch_format="pyarrow"
+        )
+    )
+
+    out_fields = [(key, key_type)] + \
+        [(c, ltypes[c]) for c in left_cols] + \
+        [(c, rtypes[c]) for c in right_cols]
+    out_schema = pa.schema(out_fields)
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        from .dedup import _segment_bounds
+
+        starts, ends = _segment_bounds(batch.column("__k"))
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        l_take, r_take = [], []
+        for s, e in zip(starts, ends):
+            seg_side = side[s:e]
+            li = np.nonzero(seg_side == 0)[0] + s
+            ri = np.nonzero(seg_side == 1)[0] + s
+            if not len(li) or not len(ri):
+                continue  # inner semantics
+            l_take.append(np.repeat(li, len(ri)))
+            r_take.append(np.tile(ri, len(li)))
+        if not l_take:
+            return out_schema.empty_table()
+        l_idx = pa.array(np.concatenate(l_take), type=pa.int64())
+        r_idx = pa.array(np.concatenate(r_take), type=pa.int64())
+        cols = {key: batch.column("__k").take(l_idx)}
+        for c in left_cols:
+            cols[c] = batch.column(c).take(l_idx)
+        for c in right_cols:
+            cols[c] = batch.column(c).take(r_idx)
+        return pa.table(cols).cast(out_schema)
+
+    return tagged.sort("__k").map_batches(
+        merge_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def top_unshipped_orders(orders, lineitem, seg_custkeys, pivot_date: str,
+                         k: int = 10):
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems for orders
+    placed before ``pivot_date`` by customers of one market segment.
+
+    Plan: lineitem pre-aggregates revenue per orderkey inside
+    ``map_batches`` (the skew-robust move: one row per (batch,
+    orderkey) enters the join, so a 10k-line order cannot serialize a
+    merge task); orders filter by date + broadcast segment-membership
+    (``seg_custkeys`` ships once per task); the two REDUCED sides meet
+    in ``hash_join``; the join's sort already co-locates equal
+    orderkeys, so the revenue fold is local per block (no second
+    exchange) and per-block top-k bounds the final sort's input.
+    Revenue in integer cents, floor(x*100+0.5) per item, matching the
+    SQL oracle exactly.
+    """
+    pivot = np.datetime64(pivot_date, "us")
+    keyarr = np.unique(np.asarray(list(seg_custkeys), dtype=np.int64))
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keep = pc.less(batch.column("o_orderdate"), pa.scalar(pivot))
+        t = batch.filter(keep)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ck, keyarr)))
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def lineitem_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keep = pc.greater(batch.column("l_shipdate"), pa.scalar(pivot))
+        t = batch.filter(keep)
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "rev_cents": pa.array(
+                    np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+        agg = part.group_by("o_orderkey").aggregate([("rev_cents", "sum")])
+        return agg.select(["o_orderkey", "rev_cents_sum"]).rename_columns(
+            ["o_orderkey", "rev_cents"]
+        )
+
+    of = orders.map_batches(orders_filter, batch_format="pyarrow")
+    lf = lineitem.map_batches(lineitem_partial, batch_format="pyarrow")
+    joined = hash_join(
+        of, lf, key="o_orderkey",
+        left_cols=["o_orderdate", "o_orderpriority"], right_cols=["rev_cents"],
+    )
+
+    def agg_topk_block(batch: pa.Table) -> pa.Table:
+        """hash_join's sort co-locates equal orderkeys in one block, so
+        the revenue fold is LOCAL-exact — no second groupby exchange —
+        and the block's top-k bounds the final sort's input to
+        k x blocks rows."""
+        if batch.num_columns == 0:
+            return pa.schema(
+                [("o_orderkey", pa.int64()),
+                 ("o_orderdate", pa.timestamp("us")),
+                 ("o_orderpriority", pa.string()),
+                 ("revenue_cents", pa.int64())]
+            ).empty_table()
+        batch = batch.combine_chunks()
+        agg = batch.group_by(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).aggregate([("rev_cents", "sum")]).rename_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority", "revenue_cents"]
+        ).combine_chunks()
+        rev = agg.column("revenue_cents").to_numpy(zero_copy_only=False)
+        keys = agg.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev))[:k]
+        return agg.take(pa.array(order, type=pa.int64()))
+
+    return (
+        joined.map_batches(agg_topk_block, batch_size=None,
+                           batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

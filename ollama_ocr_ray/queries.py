@@ -477,6 +477,28 @@ def q_band_join(sf_dir: str):
     return relational.band_join_parts(ds)
 
 
+def q_top_unshipped(sf_dir: str):
+    """TPC-H Q3 shape over the general large-x-large hash_join (orders
+    x pre-aggregated lineitem co-partitioned by orderkey); customer is
+    the one broadcast side (segment filter pushed into the read)."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filters=[("c_mktsegment", "==", "BUILDING")],
+    )
+    # coarse blocks: every sort/merge task is one driver dispatch
+    # (~16-44/s ceiling, BASELINE.md) and both join inputs are already
+    # filtered/pre-aggregated far below the block target
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"], onb=8)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"], onb=16)
+    return relational.top_unshipped_orders(
+        orders, li, cust.column("c_custkey").to_pylist(), "1998-06-01", k=10
+    )
+
+
 def q_props_extract(sf_dir: str):
     """JSON metadata extraction from the events props column: per-type
     sum/avg of the extracted field (the metadata-parse step every
@@ -650,6 +672,7 @@ def queries() -> dict:
         "brand_stats": q_brand_stats,
         "props_extract": q_props_extract,
         "band_join": q_band_join,
+        "top_unshipped": q_top_unshipped,
         "events_sliding": q_events_sliding,
         "top_orders_segment": q_top_orders_segment,
         "quality_score": q_quality_score,
@@ -822,6 +845,23 @@ def oracle_sql() -> dict:
             FROM part p JOIN bands b
               ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
             GROUP BY b.band
+        """,
+        # per-item floor(x*100+0.5) cents then BIGINT sum, matching the
+        # Ray side bit-for-bit; (revenue DESC, orderkey) makes the
+        # LIMIT deterministic under revenue ties
+        "top_unshipped": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100 + 0.5) AS BIGINT)) AS revenue_cents
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, o.o_orderkey
+            LIMIT 10
         """,
         "props_extract": """
             SELECT event_type,

@@ -488,3 +488,46 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     got = set(zip(out.column("a_id").to_pylist(), out.column("b_id").to_pylist()))
     assert want <= got         # full recall on the planted set
     assert got == want         # precision is exact (in-bucket verify)
+
+
+def test_hash_join_inner_semantics(ray_session):
+    import ray.data as rd
+
+    left = rd.from_items([
+        {"k": 1, "lv": "a"}, {"k": 1, "lv": "b"},
+        {"k": 2, "lv": "c"}, {"k": 3, "lv": "d"},   # 3 absent on right
+    ])
+    right = rd.from_items([
+        {"k": 1, "rv": 10}, {"k": 1, "rv": 20},     # dup key: cross product
+        {"k": 2, "rv": 30}, {"k": 9, "rv": 99},     # 9 absent on left
+    ])
+    out = relational.hash_join(
+        left, right, key="k", left_cols=["lv"], right_cols=["rv"]
+    ).to_pandas()
+    got = set(map(tuple, out[["k", "lv", "rv"]].itertuples(index=False)))
+    assert got == {
+        (1, "a", 10), (1, "a", 20), (1, "b", 10), (1, "b", 20),
+        (2, "c", 30),
+    }
+
+
+def test_top_unshipped_matches_duckdb(ray_session):
+    import duckdb
+
+    from ollama_ocr_ray import queries
+
+    sf = "/root/testdata/sf0.001"
+    res = queries.queries()["top_unshipped"](sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    odf = con.execute(queries.oracle_sql()["top_unshipped"]).df()
+    cols = list(res.columns)
+    res = res.sort_values(cols).reset_index(drop=True)
+    odf = odf[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(res, odf, check_dtype=False)
