@@ -1,0 +1,81 @@
+"""End-to-end training-data corpus prep: fused per-doc annotation
+(quality signals + language ID + content fingerprint), an early quality
+gate, and exact-dedup keep-first — the composed single pipeline a
+pretraining prep job runs over the raw corpus.
+
+Scale notes: the text column is read ONCE (annotate stage) and dropped
+before any exchange; the only shuffle is a sort over 5 scalar columns.
+The quality gate runs inside the annotate stage so rejected documents
+never leave their input block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .text import LangId, fingerprint_batch, quality_score_batch
+
+
+class PrepAnnotate:
+    """Actor-pool stage: ONE pass per batch computes every per-doc
+    signal (quality kernels, language-ID, rolling fingerprint), applies
+    the quality gate, and drops the text column."""
+
+    def __init__(self, quality_threshold: float = 0.01):
+        self.thr = quality_threshold
+        self._lang = LangId()  # marker tables built once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)
+        lang = self._lang(batch).column("pred_lang")
+        fp = fingerprint_batch(batch).column("fingerprint")
+        t = q.append_column("pred_lang", lang).append_column("fingerprint", fp)
+        keep = t.column("quality_score").to_numpy(zero_copy_only=False) \
+            >= self.thr
+        return t.filter(pa.array(keep)).select(
+            ["doc_id", "pred_lang", "n_chars", "quality_score", "fingerprint"]
+        )
+
+
+def _keep_first_block(batch: pa.Table) -> pa.Table:
+    """Sorted-by-fingerprint block → the min-doc_id row per fingerprint.
+    A local (fingerprint, doc_id) re-sort makes take-first correct; the
+    global sort key is fingerprint ALONE so sort ranges cannot split a
+    fingerprint group across blocks (group key == full sort key)."""
+    from .dedup import _segment_bounds
+
+    if batch.num_rows == 0:
+        return batch
+    batch = batch.sort_by(
+        [("fingerprint", "ascending"), ("doc_id", "ascending")]
+    ).combine_chunks()
+    starts, _ = _segment_bounds(batch.column("fingerprint"))
+    return batch.take(pa.array(starts, type=pa.int64()))
+
+
+def prep_corpus(docs, *, quality_threshold: float = 0.01, concurrency=None):
+    """documents Dataset → annotated, quality-gated, exact-deduped
+    corpus rows (doc_id, pred_lang, n_chars, quality_score,
+    fingerprint): keep the minimum doc_id per surviving content
+    fingerprint.
+
+    By default the annotate stage runs as a TASK pool (the LangId
+    tables are tiny); pass ``concurrency`` to pin an actor pool when a
+    real language model replaces the marker heuristic.
+    """
+    if concurrency is None:
+        ann = docs.map_batches(
+            PrepAnnotate(quality_threshold), batch_format="pyarrow"
+        )
+    else:
+        ann = docs.map_batches(
+            PrepAnnotate,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs={"quality_threshold": quality_threshold},
+        )
+    return ann.sort("fingerprint").map_batches(
+        _keep_first_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -550,6 +550,15 @@ def q_props_extract(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_prep_corpus(sf_dir: str):
+    """Composed training-data prep pipeline (annotate → quality gate →
+    exact-dedup keep-first); see functions/prep.py for the plan."""
+    from .functions.prep import prep_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=8)
+    return prep_corpus(ds, quality_threshold=0.01)
+
+
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow")
@@ -676,6 +685,7 @@ def queries() -> dict:
         "events_sliding": q_events_sliding,
         "top_orders_segment": q_top_orders_segment,
         "quality_score": q_quality_score,
+        "prep_corpus": q_prep_corpus,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
         "nation_rollup": q_nation_rollup,
@@ -700,7 +710,7 @@ def queries() -> dict:
     }
 
 
-def oracle_sql() -> dict:
+def _base_oracles() -> dict:
     return {
         "doc_token_stats": f"""
             SELECT doc_id,
@@ -1085,3 +1095,28 @@ def oracle_sql() -> dict:
             FROM events GROUP BY event_type
         """,
     }
+
+
+def oracle_sql() -> dict:
+    d = _base_oracles()
+    # prep_corpus composes the quality/lang/fingerprint oracles (each
+    # already proven exact-match on its own): annotate, gate at the
+    # 0.01 score threshold, keep min doc_id per surviving fingerprint.
+    # The threshold compare is on the SAME double both sides compute
+    # bit-for-bit, so the gate cannot disagree at the boundary.
+    d["prep_corpus"] = f"""
+        WITH q AS ({d["quality_score"]}),
+        l AS ({d["lang_id"]}),
+        f AS ({d["doc_fingerprint"]}),
+        ann AS (
+          SELECT q.doc_id, l.pred_lang, q.n_chars, q.quality_score,
+                 f.fingerprint
+          FROM q JOIN l ON l.doc_id = q.doc_id
+          JOIN f ON f.doc_id = q.doc_id
+          WHERE q.quality_score >= 0.01
+        )
+        SELECT doc_id, pred_lang, n_chars, quality_score, fingerprint
+        FROM ann
+        WHERE doc_id IN (SELECT min(doc_id) FROM ann GROUP BY fingerprint)
+    """
+    return d

@@ -531,3 +531,23 @@ def test_top_unshipped_matches_duckdb(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(res, odf, check_dtype=False)
+
+
+def test_prep_corpus_gate_and_dedup(ray_session):
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.prep import prep_corpus
+
+    good = "the cat and the dog, in a house of art."
+    rows = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": good},            # exact dup: dropped
+        {"doc_id": 3, "text": "zzz qqq xxx"},   # no stopwords/punct: gated
+        {"doc_id": 4, "text": "of the and a in, to them all."},
+    ]
+    out = prep_corpus(rd.from_items(rows), quality_threshold=0.01) \
+        .to_pandas()
+    assert sorted(out["doc_id"]) == [1, 4]
+    assert "text" not in out.columns  # scalars only past the annotate stage
+    assert set(out.columns) == {"doc_id", "pred_lang", "n_chars",
+                                "quality_score", "fingerprint"}
