@@ -98,10 +98,16 @@ class HyperplaneLSH:
 
 def lsh_ann(embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
             dim: int, k: int = 10, n_planes: int = 6, multiprobe: int = 2,
-            concurrency=(1, 4)):
+            concurrency=None):
     """Approximate top-k: bucket vectors by hyperplane LSH, search only
     buckets within ``multiprobe`` bit flips of each query's bucket,
-    exact-rerank candidates.  Recall measured in tests vs knn_cosine."""
+    exact-rerank candidates.  Recall measured in tests vs knn_cosine.
+
+    By default the bucketing stage runs as a TASK pool — the hasher
+    state is one seeded (dim x n_planes) matrix that ships with the
+    task, so there is no actor-pool ramp (a (1,4) autoscaling pool kept
+    this stage at ~1-2 workers on short jobs, BASELINE.md).  Pass
+    ``concurrency`` to pin an actor pool (e.g. a learned quantizer)."""
     lsh = HyperplaneLSH(dim, n_planes)
     qn = _normalize(query_matrix.astype(np.float64))
     q_buckets = lsh.bucket_of(qn)
@@ -118,12 +124,18 @@ def lsh_ann(embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
         probe_sets.append(probes)
     all_buckets = set().union(*probe_sets)
 
-    bucketed = embeddings.map_batches(
-        HyperplaneLSH,
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-    )
+    if concurrency is None:
+        bucketed = embeddings.map_batches(
+            HyperplaneLSH(dim=dim, n_planes=n_planes),
+            batch_format="pyarrow",
+        )
+    else:
+        bucketed = embeddings.map_batches(
+            HyperplaneLSH,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        )
 
     def partials(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()

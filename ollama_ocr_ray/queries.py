@@ -183,7 +183,8 @@ def _query_matrix(sf_dir: str, q_ids: list[int]):
 
 def q_knn_cosine(sf_dir: str):
     qm, qids = _query_matrix(sf_dir, [0, 1, 2, 3, 4])
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                onb=8)
     return similarity.knn_cosine(emb, qm, qids, k=10)
 
 
@@ -191,7 +192,8 @@ def q_embedding_near_dup(sf_dir: str):
     # exact block-pair plan: no driver-side full-matrix read/broadcast
     # (VERDICT r1 #4); the LSH-banded variant is the high-threshold
     # scale path (similarity.embedding_near_dup_lsh, recall-tested)
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                onb=8)
     out = similarity.embedding_near_dup_blocked(emb, threshold=0.45)
     return out.select_columns(["a_id", "b_id"])
 
@@ -324,7 +326,8 @@ def q_doc_fingerprint(sf_dir: str):
 
 def q_knn_lsh(sf_dir: str):
     qm, qids = _query_matrix(sf_dir, [0, 1, 2, 3, 4])
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                onb=8)
     return similarity.lsh_ann(emb, qm, qids, dim=qm.shape[1], k=10)
 
 
@@ -419,15 +422,37 @@ def q_approx_users(sf_dir: str):
 
     from .functions.sketches import approx_distinct
 
-    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"], onb=16)
     out = approx_distinct(ev, "event_type", "user_id", p=12)
-    # exact side: distinct (event_type, user_id) partials, then count
-    # per type — pre-aggregated rows only ever shuffle
+
+    # exact side: per-block DISTINCT partials first, so the exchange
+    # carries unique (type, user) pairs, not raw event rows; the
+    # per-type count then pre-aggregates per block again and the final
+    # groupby folds a handful of partial counts
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return batch.combine_chunks().group_by(
+            ["event_type", "user_id"]
+        ).aggregate([])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("event_type").aggregate([("one", "sum")])
+
+    from ray.data.aggregate import Sum
+
     exact = (
-        ev.groupby(["event_type", "user_id"])
+        ev.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
         .aggregate(Count(alias_name="_n"))
+        .map_batches(count_partial, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Count(alias_name="n_exact"))
+        .aggregate(Sum("one_sum", alias_name="n_exact"))
     )
     # tiny result (one row per event type): a driver-side dict is the
     # broadcast small side, not a materialized dataset
@@ -624,7 +649,8 @@ def q_knn_ivf(sf_dir: str):
         [np.asarray(v, dtype=np.float64)
          for v in first.column("embedding").to_pylist()]
     )
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+                onb=8)
     return similarity.ivf_ann(emb, qm, qids, sample, k=10, nlist=8, nprobe=4)
 
 
