@@ -73,16 +73,24 @@ LANG_MARKERS = {
 
 
 class LangId:
-    """Actor-pool stage: marker tables built once per actor.  A real
-    deployment swaps in fasttext/cld3 weights here; the heuristic is the
-    n-gram/stopword-profile fallback."""
+    """Marker tables built once per process (a real deployment swaps in
+    fasttext/cld3 weights here; the heuristic is the
+    n-gram/stopword-profile fallback).  Cheap enough that the query path
+    uses a task-based ``map_batches`` with the module-level singleton
+    (`lang_id_batch`) instead of paying actor-pool spin-up."""
 
     def __init__(self):
         self.langs = sorted(LANG_MARKERS)
-        self.marker_to_lang: dict[str, int] = {}
+        # a marker claimed by several languages counts only for the
+        # first (sorted) one — the SQL oracle encodes the same rule
+        marker_to_lang: dict[str, int] = {}
         for li, lang in enumerate(self.langs):
             for w in LANG_MARKERS[lang]:
-                self.marker_to_lang.setdefault(w, li)
+                marker_to_lang.setdefault(w, li)
+        self.lang_markers = [
+            np.array([w for w, li in marker_to_lang.items() if li == i])
+            for i in range(len(self.langs))
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -90,15 +98,27 @@ class LangId:
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
-        for i, tok in enumerate(flat):
-            li = self.marker_to_lang.get(tok)
-            if li is not None:
-                scores[parents[i], li] += 1
+        for li, markers in enumerate(self.lang_markers):
+            hit = np.isin(flat, markers)
+            np.add.at(scores[:, li], parents[hit], 1)
         best = np.argmax(scores, axis=1)
         none = scores.max(axis=1) == 0
         pred = np.array(self.langs, dtype=object)[best]
         pred[none] = "und"
         return batch.append_column("pred_lang", pa.array(pred, type=pa.string()))
+
+
+_LANG_ID_SINGLETON: LangId | None = None
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Task-friendly wrapper: builds the (tiny) marker tables once per
+    worker process, so the query path can use stateless ``map_batches``
+    tasks instead of an actor pool."""
+    global _LANG_ID_SINGLETON
+    if _LANG_ID_SINGLETON is None:
+        _LANG_ID_SINGLETON = LangId()
+    return _LANG_ID_SINGLETON(batch)
 
 
 # --- fingerprints -----------------------------------------------------------

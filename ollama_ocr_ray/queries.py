@@ -54,11 +54,22 @@ _MINHASH_PAIRS_SQL = """
 """
 
 
+_ROWS_PER_BLOCK = 25_000
+
+
 def _read(sf_dir: str, table: str, columns=None, onb=None):
+    """Pruned parquet read with size-aware block count: Ray's default
+    splits even a 5k-row table into ~2x-CPUs blocks, and every
+    downstream task is one driver dispatch (~16-44/s ceiling,
+    BASELINE.md) — so blocks scale with ROWS (one cheap metadata read),
+    floored at 8 so small sf levels still parallelize.  Explicit
+    ``onb`` wins where a query knows better."""
     import ray.data as rd
 
-    kw = {} if onb is None else {"override_num_blocks": onb}
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+    path = f"{sf_dir}/{table}.parquet"
+    if onb is None:
+        onb = max(8, pq.read_metadata(path).num_rows // _ROWS_PER_BLOCK)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=onb)
 
 
 # --- corpus synthesis sizing for the extraction queries ---------------------
@@ -313,9 +324,8 @@ def q_dup_clusters(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        ftext.LangId, batch_format="pyarrow", concurrency=(1, 4)
-    ).select_columns(["doc_id", "pred_lang"])
+    return ds.map_batches(ftext.lang_id_batch, batch_format="pyarrow") \
+             .select_columns(["doc_id", "pred_lang"])
 
 
 def q_doc_fingerprint(sf_dir: str):
