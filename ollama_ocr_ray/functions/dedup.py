@@ -670,27 +670,57 @@ def _cc_propagate_block(batch: pa.Table) -> pa.Table:
     )
 
 
-def dup_clusters(pairs, *, max_iter: int = 16):
+def _cc_local(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Connected components of a small edge list, vectorized on the
+    driver: min-label propagation with pointer jumping (``lab[lab]``
+    halves chain depth each round → O(log diameter) rounds, each an
+    O(E) numpy pass).  ``nodes`` is sorted, so the converged min *index*
+    per component maps back to the component's min doc_id."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, ea, lab[eb])
+        np.minimum.at(nxt, eb, lab[ea])
+        nxt = nxt[nxt]
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return pa.table(
+        {"doc_id": pa.array(nodes, type=pa.int64()),
+         "cluster_id": pa.array(nodes[lab], type=pa.int64())}
+    )
+
+
+def dup_clusters(pairs, *, max_iter: int = 16,
+                 small_graph_rows: int = 4_000_000):
     """(a_id, b_id) pair Dataset → (doc_id, cluster_id): connected
     components of the duplicate-candidate graph, cluster_id = the
     component's minimum doc_id.  This is the step that turns pairwise
     near-dup output into keep-one-per-cluster dedup decisions.
 
-    Plan: min-label propagation.  labels start as each node's min
-    neighbor; each round unions the (tiny) edge list with the current
-    labels, sorts by node — group key == full sort key, so sort ranges
-    cannot split a segment — and every node broadcasts its label to its
-    neighbors; a Min-aggregate exchange folds received labels.  Rounds
-    needed = graph diameter; dup clusters are near-cliques (diameter
-    1-2) so 2-3 rounds close in practice, ``max_iter`` bounds
-    pathological chains.
+    Two physical plans, picked by measured edge count:
 
-    Scale: every exchange moves (int64, int64) rows, O(candidate
-    pairs) — orders of magnitude below the corpus; the iteration
-    materializes only the label set (nodes appearing in some pair),
-    which is the op's own output size.  Convergence is detected on the
-    driver from sum(label), monotone non-increasing per node.
+    - **small graph** (≤ ``small_graph_rows`` symmetric edge rows,
+      default 4M ≈ 64 MB of int64 pairs): pull ONLY the (key, val)
+      edge columns to the driver and run vectorized pointer-jumping
+      label propagation (`_cc_local`).  This is the broadcast-small-
+      side pattern — the candidate-pair graph is orders of magnitude
+      smaller than the corpus, so this is the common case even at
+      100 TB unless the corpus is pathologically duplicated.
+    - **distributed** min-label propagation otherwise: each round
+      unions the edge list with the current labels, sorts by node —
+      group key == full sort key, so sort ranges cannot split a
+      segment — and every node broadcasts its label to its neighbors;
+      a Min-aggregate exchange folds received labels.  Rounds needed =
+      graph diameter; dup clusters are near-cliques (diameter 1-2) so
+      2-3 rounds close in practice, ``max_iter`` bounds pathological
+      chains.  Every exchange moves (int64, int64) rows, O(candidate
+      pairs); convergence is detected on the driver from sum(label),
+      monotone non-increasing per node.
     """
+    import ray
     from ray.data.aggregate import Min
 
     def symmetric_edges(batch: pa.Table) -> pa.Table:
@@ -708,6 +738,19 @@ def dup_clusters(pairs, *, max_iter: int = 16):
     edges = pairs.map_batches(
         symmetric_edges, batch_format="pyarrow"
     ).materialize()
+
+    n_edges = edges.count()
+    if n_edges <= small_graph_rows:
+        if n_edges == 0:
+            return ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "cluster_id": pa.array([], type=pa.int64())})
+            )
+        flat = edges.take_batch(n_edges, batch_format="pyarrow")
+        return ray.data.from_arrow(
+            _cc_local(flat.column("key").to_numpy(zero_copy_only=False),
+                      flat.column("val").to_numpy(zero_copy_only=False))
+        )
 
     # round 0: label[u] = min(u, min neighbors) in one exchange
     labels = (

@@ -106,7 +106,9 @@ def test_simhash_near_identical_pair(ray_session):
         assert pairs[(1, 4)] == near_hamming
 
 
-def test_dup_clusters_connected_components(ray_session):
+@pytest.mark.parametrize("small_graph_rows", [4_000_000, 0],
+                         ids=["local", "distributed"])
+def test_dup_clusters_connected_components(ray_session, small_graph_rows):
     import ray.data as rd
 
     # two components: a path 1-2-3-4-5-6 (diameter 5 forces several
@@ -115,19 +117,26 @@ def test_dup_clusters_connected_components(ray_session):
     pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
              (10, 11), (11, 12), (10, 12)]
     ds = rd.from_items([{"a_id": a, "b_id": b} for a, b in pairs])
-    out = _collect(dedup.dup_clusters(ds)).to_pylist()
+    out = _collect(
+        dedup.dup_clusters(ds, small_graph_rows=small_graph_rows)
+    ).to_pylist()
     got = {r["doc_id"]: r["cluster_id"] for r in out}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 12: 10}
 
 
-def test_dup_clusters_empty_pairs(ray_session):
+@pytest.mark.parametrize("small_graph_rows", [4_000_000, 0],
+                         ids=["local", "distributed"])
+def test_dup_clusters_empty_pairs(ray_session, small_graph_rows):
     import ray.data as rd
 
     ds = rd.from_items([{"a_id": 1, "b_id": 2}]).filter(
         lambda r: False
     )
-    assert _collect(dedup.dup_clusters(ds)).num_rows == 0
+    out = _collect(
+        dedup.dup_clusters(ds, small_graph_rows=small_graph_rows)
+    )
+    assert out.num_rows == 0
 
 
 def _load_embeddings():
