@@ -62,6 +62,28 @@ def bpe_count_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_bpe", n)
 
 
+def vocab_df_partial(batch: pa.Table) -> pa.Table:
+    """Per-block partial document frequencies: (token, df) where df
+    counts the block's documents containing the (lowercased,
+    whitespace) token at least once.  Pure Arrow group_by twice —
+    distinct (doc, token) pairs, then per-token doc counts — so the
+    vocabulary-build exchange moves only (token, partial_df) rows,
+    vocabulary-sized, never corpus-sized."""
+    batch = batch.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    pairs = pa.table(
+        {"p": pc.filter(parents, mask), "token": pc.filter(flat, mask)}
+    ).group_by(["p", "token"]).aggregate([])
+    out = pairs.group_by("token").aggregate([("p", "count")])
+    return pa.table(
+        {"token": out.column("token"),
+         "df": out.column("p_count").cast(pa.int64())}
+    )
+
+
 # --- language ID heuristic (stateful: compiled marker tables) --------------
 LANG_MARKERS = {
     "en": {"the", "and", "of", "in", "to", "is", "a"},

@@ -11,7 +11,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .functions import dedup, relational, similarity, text as ftext
+from .functions import contamination, dedup, relational, similarity, \
+    text as ftext
 
 # Stopword literal shared with oracle SQL strings.
 _STOP_SQL = "('the','and','of','a','in','to')"
@@ -320,6 +321,30 @@ def q_dup_clusters(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=16)
     pairs = dedup.minhash_dup_pairs(ds, threshold=0.8)
     return dedup.dup_clusters(pairs)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark-decontamination scan: docs sharing a word-3-gram with
+    the eval slice (doc_id % 101 == 0 stands in for a benchmark
+    table).  Eval grams are driver-collected (benchmark-suite-sized)
+    and broadcast into one streaming corpus pass — no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return contamination.decontaminate(ds, eval_mod=101, k=3)
+
+
+def q_vocab_top_terms(sf_dir: str):
+    """Global vocabulary build: top-50 tokens by document frequency.
+    Per-block partial DFs (vocabulary-sized) are the only exchange;
+    full order (df DESC, token) makes the LIMIT cut deterministic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    part = ds.map_batches(ftext.vocab_df_partial, batch_format="pyarrow")
+    return (
+        part.groupby("token").aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(50)
+    )
 
 
 def q_lang_id(sf_dir: str):
@@ -727,6 +752,8 @@ def queries() -> dict:
         "nation_rollup": q_nation_rollup,
         "asof_last_order": q_asof_last_order,
         "sessionize": q_sessionize,
+        "decontaminate": q_decontaminate,
+        "vocab_top_terms": q_vocab_top_terms,
         # rows-only (non-SQL-expressible)
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
@@ -774,6 +801,35 @@ def _base_oracles() -> dict:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                END) AS g
+              FROM toks
+            ), eval_g AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0
+            ), hits AS (
+              SELECT DISTINCT d.doc_id, d.g
+              FROM grams d JOIN eval_g e USING (g)
+              WHERE d.doc_id % 101 <> 0
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM hits GROUP BY doc_id
+        """,
+        "vocab_top_terms": f"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, unnest({_LTOKS_SQL}) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tok GROUP BY token
+            ORDER BY df DESC, token LIMIT 50
         """,
         "top_docs": """
             SELECT doc_id, n_chars FROM documents

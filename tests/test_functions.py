@@ -184,9 +184,42 @@ def test_lsh_ann_recall(ray_session):
     assert recall >= 0.5, f"LSH recall {recall}"
 
 
+def test_decontaminate_planted(ray_session):
+    """Eval doc 0 contaminates only the doc sharing its 3-grams; short
+    docs degrade to one whole-doc gram (the <k fallback)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import contamination
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},   # eval (mod 3)
+        {"doc_id": 1, "text": "x alpha beta gamma y"},     # shares 1 gram
+        {"doc_id": 2, "text": "unrelated words entirely here"},
+        {"doc_id": 3, "text": "so sh"},                    # eval, short
+        {"doc_id": 4, "text": "so sh"},                    # whole-doc gram hit
+    ]
+    out = _collect(
+        contamination.decontaminate(
+            rd.from_items(rows), eval_mod=3, k=3
+        )
+    ).to_pylist()
+    got = {r["doc_id"]: r["n_overlap"] for r in out}
+    assert got == {1: 1, 4: 1}
+
+
+def test_vocab_df_partial_counts_documents_not_occurrences():
+    from ollama_ocr_ray.functions.text import vocab_df_partial
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["Dog dog dog cat", "dog bird"])})
+    out = {r["token"]: r["df"] for r in vocab_df_partial(t).to_pylist()}
+    assert out == {"dog": 2, "cat": 1, "bird": 1}
+
+
 @pytest.mark.parametrize("name", ["pricing_summary", "segment_revenue",
                                   "events_hourly", "exact_dedup",
-                                  "doc_token_stats", "knn_cosine"])
+                                  "doc_token_stats", "knn_cosine",
+                                  "decontaminate", "vocab_top_terms"])
 def test_queries_match_oracle_sf0001(ray_session, name):
     """The driver's correctness gate in miniature at sf0.001."""
     from ollama_ocr_ray.queries import oracle_sql, queries
