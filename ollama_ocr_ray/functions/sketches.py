@@ -99,3 +99,60 @@ def approx_distinct(ds, key_col: str, value_col: str, p: int = 12):
         .groupby(key_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def grouped_quantiles(ds, key_col: str, value_col: str,
+                      qs=(0.5, 0.9, 0.99)):
+    """Dataset → (key, p50, p90, ...) EXACT discrete quantiles via
+    mergeable value-histogram partials.
+
+    Works when the value domain is bounded discrete (chars, tokens,
+    pages — the data-quality columns): per batch, one (key, value,
+    cnt) row per distinct pair, so the exchange is histogram-sized —
+    independent of row count, the t-digest trade without the
+    approximation.  The final per-key step walks the merged histogram's
+    cumulative counts: rank_q = max(1, ceil(n*q)) computed in float64,
+    matching DuckDB's ``quantile_disc`` bit-for-bit (probed at the
+    n*q-integer boundaries, e.g. n=100 q=0.99).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        hist = (
+            pa.table({key_col: batch.column(key_col),
+                      value_col: batch.column(value_col)})
+            .group_by([key_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {key_col: hist.column(key_col),
+             value_col: hist.column(value_col),
+             "cnt": hist.column("count_all").cast(pa.int64())}
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        vals = group.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = group.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        cols = {key_col: group.column(key_col).slice(0, 1)}
+        for q in qs:
+            rank = max(1, math.ceil(n * q))
+            v = vals[np.searchsorted(cum, rank, side="left")]
+            name = f"p{q * 100:g}".replace(".", "_")
+            cols[name] = pa.array([int(v)], type=pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby(key_col)
+        .map_groups(finish, batch_format="pyarrow")
+    )

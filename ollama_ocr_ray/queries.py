@@ -323,6 +323,16 @@ def q_dup_clusters(sf_dir: str):
     return dedup.dup_clusters(pairs)
 
 
+def q_chars_quantiles(sf_dir: str):
+    """Per-language exact p50/p90/p99 of document length via mergeable
+    value-histogram partials (histogram-sized exchange — the scale-safe
+    way to get exact quantiles over a bounded discrete domain)."""
+    from .functions.sketches import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, "lang", "n_chars", qs=(0.5, 0.9, 0.99))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark-decontamination scan: docs sharing a word-3-gram with
     the eval slice (doc_id % 101 == 0 stands in for a benchmark
@@ -754,6 +764,7 @@ def queries() -> dict:
         "sessionize": q_sessionize,
         "decontaminate": q_decontaminate,
         "vocab_top_terms": q_vocab_top_terms,
+        "chars_quantiles": q_chars_quantiles,
         # rows-only (non-SQL-expressible)
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
@@ -821,6 +832,13 @@ def _base_oracles() -> dict:
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
             FROM hits GROUP BY doc_id
+        """,
+        "chars_quantiles": """
+            SELECT lang,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+            FROM documents GROUP BY lang
         """,
         "vocab_top_terms": f"""
             WITH tok AS (

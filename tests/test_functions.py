@@ -219,7 +219,8 @@ def test_vocab_df_partial_counts_documents_not_occurrences():
 @pytest.mark.parametrize("name", ["pricing_summary", "segment_revenue",
                                   "events_hourly", "exact_dedup",
                                   "doc_token_stats", "knn_cosine",
-                                  "decontaminate", "vocab_top_terms"])
+                                  "decontaminate", "vocab_top_terms",
+                                  "chars_quantiles"])
 def test_queries_match_oracle_sf0001(ray_session, name):
     """The driver's correctness gate in miniature at sf0.001."""
     from ollama_ocr_ray.queries import oracle_sql, queries
