@@ -19,6 +19,12 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--input", required=True, help="documents table dir/file")
     ap.add_argument("--output", required=True, help="output dir (resumable)")
+    ap.add_argument("--job", choices=["extract", "prep"], default="extract",
+                    help="extract = resumable OCR extraction; prep = "
+                         "annotate + quality gate + exact-dedup corpus prep "
+                         "(streams straight to partitioned parquet)")
+    ap.add_argument("--quality-threshold", type=float, default=0.01,
+                    help="prep job: minimum quality_score to keep")
     ap.add_argument("--plan", choices=["auto", "canonical", "fused"],
                     default="auto")
     ap.add_argument("--policy", default="text",
@@ -52,6 +58,20 @@ def main(argv=None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        if args.job == "prep":
+            import ray.data as rd
+
+            from .functions.prep import prep_corpus
+
+            out = prep_corpus(
+                rd.read_parquet(args.input),
+                quality_threshold=args.quality_threshold,
+            )
+            out.write_parquet(args.output)
+            kept = rd.read_parquet(args.output).count()
+            print(json.dumps({"job": "prep", "rows_kept": kept,
+                              "output": args.output}))
+            return 0
         from .state.runner import run_extract
 
         summary = run_extract(

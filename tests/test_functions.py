@@ -184,6 +184,23 @@ def test_lsh_ann_recall(ray_session):
     assert recall >= 0.5, f"LSH recall {recall}"
 
 
+def test_grouped_quantiles_planted(ray_session):
+    """Exact discrete quantiles across multiple blocks; rank semantics
+    = DuckDB quantile_disc (1-based max(1, ceil(n*q)))."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import grouped_quantiles
+
+    rows = [{"k": "a", "v": v} for v in [10, 20, 30, 40]] + \
+           [{"k": "b", "v": v} for v in [7, 7, 7, 100]]
+    ds = rd.from_items(rows, override_num_blocks=3)
+    out = {r["k"]: r for r in _collect(
+        grouped_quantiles(ds, "k", "v", qs=(0.5, 0.9))
+    ).to_pylist()}
+    assert out["a"]["p50"] == 20 and out["a"]["p90"] == 40
+    assert out["b"]["p50"] == 7 and out["b"]["p90"] == 100
+
+
 def test_decontaminate_planted(ray_session):
     """Eval doc 0 contaminates only the doc sharing its 3-grams; short
     docs degrade to one whole-doc gram (the <k fallback)."""

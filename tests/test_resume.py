@@ -85,3 +85,22 @@ def test_fused_plan_runner(ray_session, corpus_dir, tmp_path):
     assert s["partitions_run"] == s["partitions_total"]
     expected = oracle.extract_corpus(synth.gen_table(200, seed=11))
     assert _read_spans(out) == expected
+
+
+def test_cli_prep_job(ray_session, tmp_path, capsys):
+    """--job prep streams the composed prep pipeline to partitioned
+    parquet; kept rows = the library pipeline's own output."""
+    import json
+
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.prep import prep_corpus
+    from ollama_ocr_ray.run import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "prep")
+    assert main(["--input", src, "--output", out, "--job", "prep"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    direct = prep_corpus(rd.read_parquet(src)).count()
+    assert summary["rows_kept"] == direct > 0
+    assert rd.read_parquet(out).count() == direct
