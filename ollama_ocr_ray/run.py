@@ -25,6 +25,11 @@ def main(argv=None) -> int:
                          "(streams straight to partitioned parquet)")
     ap.add_argument("--quality-threshold", type=float, default=0.01,
                     help="prep job: minimum quality_score to keep")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="prep job: globally shuffle the kept rows before "
+                         "writing (the standard pre-training export step; "
+                         "one all-to-all exchange over the already-gated, "
+                         "text-free rows)")
     ap.add_argument("--plan", choices=["auto", "canonical", "fused"],
                     default="auto")
     ap.add_argument("--policy", default="text",
@@ -67,6 +72,8 @@ def main(argv=None) -> int:
                 rd.read_parquet(args.input),
                 quality_threshold=args.quality_threshold,
             )
+            if args.shuffle_seed is not None:
+                out = out.random_shuffle(seed=args.shuffle_seed)
             out.write_parquet(args.output)
             kept = rd.read_parquet(args.output).count()
             print(json.dumps({"job": "prep", "rows_kept": kept,
