@@ -765,7 +765,8 @@ def queries() -> dict:
         "decontaminate": q_decontaminate,
         "vocab_top_terms": q_vocab_top_terms,
         "chars_quantiles": q_chars_quantiles,
-        # rows-only (non-SQL-expressible)
+        # the extract/ANN/media queries below are rows-only (non-SQL);
+        # the dedup/lang/fingerprint/approx ones gained oracles in r2
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
         "extract_multi": q_extract_multi,
