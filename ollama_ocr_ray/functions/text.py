@@ -62,6 +62,64 @@ def bpe_count_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_bpe", n)
 
 
+def tfidf_scores(docs, *, vocab_size: int = 1000, scale: int = 100):
+    """(doc_id, tfidf_scaled): per-document TF-IDF relevance mass over
+    the corpus' top-``vocab_size`` tokens by document frequency.
+
+    Two passes: (1) the bounded vocabulary build (df per token via
+    ``vocab_df_partial`` partials; the (df DESC, token) cut makes the
+    top-V set deterministic), collected driver-side — the vocabulary is
+    BOUNDED by construction, so this is the broadcast-small-side
+    pattern at any corpus size; (2) one streaming scan scoring each
+    document.
+
+    Exact-oracle trick: each (doc, token) term is integer-scaled
+    BEFORE summation — ``floor(tf * (N/df) * scale + 0.5)`` with the
+    exact same IEEE-double expression on the SQL side — so the per-doc
+    sum is an order-independent int64 and hash-compares exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    n_docs = docs.count()
+    vocab_rows = (
+        docs.map_batches(vocab_df_partial, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()
+    )
+    idf = {r["token"]: float(n_docs) / float(r["df"]) for r in vocab_rows}
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        batch = batch.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(batch.column("text")))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        pairs = pa.table(
+            {"p": pc.filter(parents, mask), "token": pc.filter(flat, mask)}
+        ).group_by(["p", "token"]).aggregate([([], "count_all")])
+        p = pairs.column("p").to_numpy(zero_copy_only=False)
+        tf = pairs.column("count_all").to_numpy(zero_copy_only=False)
+        w = pd.Series(pairs.column("token").to_pandas()).map(idf).to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        known = ~np.isnan(w)
+        term = np.floor(
+            tf[known].astype(np.float64) * w[known] * scale + 0.5
+        ).astype(np.int64)
+        out = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(out, p[known], term)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "tfidf_scaled": pa.array(out, type=pa.int64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def vocab_df_partial(batch: pa.Table) -> pa.Table:
     """Per-block partial document frequencies: (token, df) where df
     counts the block's documents containing the (lowercased,

@@ -323,6 +323,15 @@ def q_dup_clusters(sf_dir: str):
     return dedup.dup_clusters(pairs)
 
 
+def q_tfidf_scores(sf_dir: str):
+    """Two-pass TF-IDF scoring: bounded top-1000-token vocabulary
+    (driver-collected, broadcast) then one streaming score pass;
+    integer-scaled per-term summands make the result order-independent
+    and hash-exact against SQL."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ftext.tfidf_scores(ds, vocab_size=1000)
+
+
 def q_chars_quantiles(sf_dir: str):
     """Per-language exact p50/p90/p99 of document length via mergeable
     value-histogram partials (histogram-sized exchange — the scale-safe
@@ -765,6 +774,7 @@ def queries() -> dict:
         "decontaminate": q_decontaminate,
         "vocab_top_terms": q_vocab_top_terms,
         "chars_quantiles": q_chars_quantiles,
+        "tfidf_scores": q_tfidf_scores,
         # the extract/ANN/media queries below are rows-only (non-SQL);
         # the dedup/lang/fingerprint/approx ones gained oracles in r2
         "extract_canonical": q_extract_canonical,
@@ -833,6 +843,28 @@ def _base_oracles() -> dict:
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
             FROM hits GROUP BY doc_id
+        """,
+        "tfidf_scores": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_LTOKS_SQL}) AS token FROM documents
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), vocab AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM tok)
+              GROUP BY token ORDER BY df DESC, token LIMIT 1000
+            ), n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+            s AS (
+              SELECT t.doc_id,
+                     sum(CAST(floor(t.tf * (n.nd / v.df) * 100 + 0.5)
+                         AS BIGINT)) AS v
+              FROM tf t JOIN vocab v USING (token), n
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.v, 0) AS BIGINT) AS tfidf_scaled
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "chars_quantiles": """
             SELECT lang,

@@ -237,7 +237,7 @@ def test_vocab_df_partial_counts_documents_not_occurrences():
                                   "events_hourly", "exact_dedup",
                                   "doc_token_stats", "knn_cosine",
                                   "decontaminate", "vocab_top_terms",
-                                  "chars_quantiles"])
+                                  "chars_quantiles", "tfidf_scores"])
 def test_queries_match_oracle_sf0001(ray_session, name):
     """The driver's correctness gate in miniature at sf0.001."""
     from ollama_ocr_ray.queries import oracle_sql, queries
