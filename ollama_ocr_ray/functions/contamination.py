@@ -23,11 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-
-def _gram_list(tokens: list[str], k: int) -> list[str]:
-    if len(tokens) < k:
-        return [" ".join(tokens)]
-    return [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+from .dedup import word_kgrams as _gram_list
 
 
 def eval_gram_set(docs, *, eval_mod: int, k: int) -> frozenset:

@@ -28,6 +28,17 @@ from .text import SimHasher, hamming64
 # --- exact dedup ------------------------------------------------------------
 
 
+def word_kgrams(tokens: list[str], k: int) -> list[str]:
+    """Word-k-gram list (duplicates kept), the ONE gram construction
+    shared by MinHash shingling, exact-Jaccard verify, and benchmark
+    decontamination (``contamination.py``): grams joined by a single
+    space; fewer than k tokens degrade to the whole (possibly empty)
+    token string — mirroring the SQL oracles' CASE fallback."""
+    if len(tokens) < k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+
+
 def _content_hash_batch(batch: pa.Table) -> pa.Table:
     """Partial aggregate: one row per distinct content hash per batch."""
     texts = batch.column("text").to_pylist()
@@ -78,11 +89,7 @@ class MinHashLSH:
     # invariant to multiplicity, and skipping per-doc set-building is
     # what lets a whole batch hash+reduce in one vectorized pass
     def _shingle_list(self, text: str) -> list[str]:
-        toks = text.split()
-        k = self.shingle_k
-        if len(toks) < k:
-            return [" ".join(toks)] if toks else [""]
-        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return word_kgrams(text.split(), self.shingle_k)
 
     _SHINGLE_CHUNK = 2_000_000  # caps the (num_perm x chunk) work matrix
 
@@ -167,13 +174,9 @@ def _segment_bounds(*key_arrays) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _word_shingle_set(text: str, k: int) -> set:
-    """Word-k-shingle set; <k tokens degrade to the whole (possibly
-    empty) token string, mirroring ``ngram_jaccard``'s kernel and the
-    ``minhash_dedup`` SQL oracle (queries.py)."""
-    toks = text.split()
-    if len(toks) < k:
-        return {" ".join(toks)}
-    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    """Word-k-shingle set view of ``word_kgrams`` (mirrors
+    ``ngram_jaccard``'s kernel and the ``minhash_dedup`` SQL oracle)."""
+    return set(word_kgrams(text.split(), k))
 
 
 def minhash_dup_pairs(docs, *, threshold: float = 0.8, num_perm: int = 64,
@@ -740,12 +743,12 @@ def dup_clusters(pairs, *, max_iter: int = 16,
     ).materialize()
 
     n_edges = edges.count()
-    if n_edges <= small_graph_rows:
-        if n_edges == 0:
-            return ray.data.from_arrow(
-                pa.table({"doc_id": pa.array([], type=pa.int64()),
-                          "cluster_id": pa.array([], type=pa.int64())})
-            )
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "cluster_id": pa.array([], type=pa.int64())})
+        )
+    if n_edges < small_graph_rows:
         flat = edges.take_batch(n_edges, batch_format="pyarrow")
         return ray.data.from_arrow(
             _cc_local(flat.column("key").to_numpy(zero_copy_only=False),

@@ -25,6 +25,9 @@ def main(argv=None) -> int:
                          "(streams straight to partitioned parquet)")
     ap.add_argument("--quality-threshold", type=float, default=0.01,
                     help="prep job: minimum quality_score to keep")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="prep job: replace a non-empty --output dir "
+                         "instead of failing fast")
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="prep job: globally shuffle the kept rows before "
                          "writing (the standard pre-training export step; "
@@ -64,10 +67,24 @@ def main(argv=None) -> int:
 
         DataContext.get_current().enable_progress_bars = False
         if args.job == "prep":
+            import os
+            import shutil
+
             import ray.data as rd
 
             from .functions.prep import prep_corpus
 
+            # prep is a one-shot export (unlike the checkpointed extract
+            # job): write_parquet into a non-empty dir would MERGE with
+            # stale files and double-count rows_kept, so fail fast.
+            if os.path.isdir(args.output) and os.listdir(args.output):
+                if args.overwrite:
+                    shutil.rmtree(args.output)
+                else:
+                    raise SystemExit(
+                        f"--output {args.output} is non-empty; pass "
+                        "--overwrite to replace it (prep is not resumable)"
+                    )
             out = prep_corpus(
                 rd.read_parquet(args.input),
                 quality_threshold=args.quality_threshold,

@@ -125,18 +125,17 @@ def test_dup_clusters_connected_components(ray_session, small_graph_rows):
                    10: 10, 11: 10, 12: 10}
 
 
-@pytest.mark.parametrize("small_graph_rows", [4_000_000, 0],
-                         ids=["local", "distributed"])
-def test_dup_clusters_empty_pairs(ray_session, small_graph_rows):
+def test_dup_clusters_empty_pairs(ray_session):
+    """0 candidate pairs short-circuits to an empty typed result before
+    either physical plan runs (both plans share the early return)."""
     import ray.data as rd
 
     ds = rd.from_items([{"a_id": 1, "b_id": 2}]).filter(
         lambda r: False
     )
-    out = _collect(
-        dedup.dup_clusters(ds, small_graph_rows=small_graph_rows)
-    )
-    assert out.num_rows == 0
+    out = dedup.dup_clusters(ds, small_graph_rows=0)
+    assert out.schema().names == ["doc_id", "cluster_id"]
+    assert out.count() == 0
 
 
 def _load_embeddings():

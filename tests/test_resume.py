@@ -104,3 +104,11 @@ def test_cli_prep_job(ray_session, tmp_path, capsys):
     direct = prep_corpus(rd.read_parquet(src)).count()
     assert summary["rows_kept"] == direct > 0
     assert rd.read_parquet(out).count() == direct
+    # re-running into the non-empty dir must fail fast (a silent
+    # write_parquet would MERGE with the first run's files)...
+    with pytest.raises(SystemExit, match="non-empty"):
+        main(["--input", src, "--output", out, "--job", "prep"])
+    # ...and --overwrite replaces rather than merges
+    assert main(["--input", src, "--output", out, "--job", "prep",
+                 "--overwrite"]) == 0
+    assert rd.read_parquet(out).count() == direct
