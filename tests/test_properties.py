@@ -122,3 +122,40 @@ def test_parsers_match_oracle_on_random_payloads(payload):
 
     assert extract_html_stage(payload) == extract_html(payload)
     assert parse_pdf_stage(payload) == extract_pdf(payload)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    toks=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                  max_size=12),
+    k=st.integers(1, 5),
+)
+def test_word_kgrams_properties(toks, k):
+    from ollama_ocr_ray.functions.dedup import word_kgrams
+
+    grams = word_kgrams(toks, k)
+    if len(toks) < k:
+        assert grams == [" ".join(toks)]
+    else:
+        assert len(grams) == len(toks) - k + 1
+        # every gram reconstructs its token window exactly
+        for i, g in enumerate(grams):
+            assert g.split(" ") == toks[i:i + k]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=200),
+    q=st.floats(0.01, 1.0),
+)
+def test_quantile_rank_matches_sorted_index(vals, q):
+    """grouped_quantiles' rank arithmetic (pure part) == the value at
+    DuckDB's quantile_disc position on the fully sorted list."""
+    import math
+
+    v = np.sort(np.asarray(vals))
+    uniq, cnt = np.unique(v, return_counts=True)
+    cum = np.cumsum(cnt)
+    rank = max(1, math.ceil(len(v) * q))
+    got = uniq[np.searchsorted(cum, rank, side="left")]
+    assert got == v[rank - 1]
