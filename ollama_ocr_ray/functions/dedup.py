@@ -62,6 +62,43 @@ def exact_dedup(docs):
     return agg.select_columns(["doc_id", "n_dups"])
 
 
+def exact_droplist(docs):
+    """(doc_id) of every document whose text duplicates a SMALLER
+    doc_id — the removal side that ``relational.anti_join`` applies.
+    Only (content-hash, doc_id) rows cross the exchange; sort key ==
+    group key (the hash alone), so segments cannot split."""
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {"h": pa.array(
+                [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                 for t in texts]
+            ),
+             "doc_id": batch.column("doc_id")}
+        )
+
+    def drop_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        batch = batch.combine_chunks()
+        starts, _ = _segment_bounds(batch.column("h"))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        seg_min = np.minimum.reduceat(ids, starts)
+        seg_of_row = np.searchsorted(
+            starts, np.arange(len(ids)), side="right"
+        ) - 1
+        keep = ids != seg_min[seg_of_row]
+        return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+
+    return (
+        docs.map_batches(hash_rows, batch_format="pyarrow")
+        .sort("h")
+        .map_batches(drop_block, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 _MERSENNE = (1 << 61) - 1
 

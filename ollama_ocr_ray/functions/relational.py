@@ -784,6 +784,71 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     )
 
 
+def anti_join(left, right, *, key: str, left_cols: list[str]):
+    """LEFT-ANTI equi-join by co-partitioning: left rows whose key has
+    NO match on the right.  Same single-sort plan and partitioning
+    assumption as ``hash_join``; the right side contributes only its
+    key column to the exchange, so a billion-row blocklist costs one
+    int column of traffic.  This is the apply step of every dedup /
+    blocklist pipeline (strip cluster non-representatives, remove
+    known-bad doc_ids) — the complement ``hash_join`` can't express.
+    """
+    lschema = left.schema().base_schema
+    ltypes = {f.name: f.type for f in lschema}
+    key_type = ltypes[key]
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            n = batch.num_rows
+            cols = {
+                "__k": batch.column(key).cast(key_type),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in left_cols:
+                cols[c] = (batch.column(c) if side == 0
+                           else pa.nulls(n, type=ltypes[c]))
+            return pa.table(cols)
+        return fn
+
+    tagged = left.select_columns([key] + left_cols).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(
+        right.select_columns([key]).map_batches(
+            tag(1), batch_format="pyarrow"
+        )
+    )
+
+    out_schema = pa.schema(
+        [(key, key_type)] + [(c, ltypes[c]) for c in left_cols]
+    )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        from .dedup import _segment_bounds
+
+        starts, _ = _segment_bounds(batch.column("__k"))
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        seg_of_row = np.searchsorted(
+            starts, np.arange(len(side)), side="right"
+        ) - 1
+        seg_has_right = np.zeros(len(starts), dtype=np.int8)
+        np.maximum.at(seg_has_right, seg_of_row, side)
+        keep = (side == 0) & (seg_has_right[seg_of_row] == 0)
+        idx = pa.array(np.nonzero(keep)[0], type=pa.int64())
+        cols = {key: batch.column("__k").take(idx)}
+        for c in left_cols:
+            cols[c] = batch.column(c).take(idx)
+        return pa.table(cols).cast(out_schema)
+
+    return tagged.sort("__k").map_batches(
+        merge_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def top_unshipped_orders(orders, lineitem, seg_custkeys, pivot_date: str,
                          k: int = 10):
     """TPC-H Q3 shape: revenue of not-yet-shipped lineitems for orders

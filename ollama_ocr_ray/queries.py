@@ -323,6 +323,19 @@ def q_dup_clusters(sf_dir: str):
     return dedup.dup_clusters(pairs)
 
 
+def q_dedup_apply(sf_dir: str):
+    """The APPLY step of exact dedup: strip every non-representative
+    duplicate from the corpus with a co-partitioned left-anti join
+    (documents × droplist, doc_id-keyed).  Both sides are large; only
+    the droplist's int key column joins the payload exchange."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    texts = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return relational.anti_join(
+        docs, dedup.exact_droplist(texts),
+        key="doc_id", left_cols=["lang", "n_chars"],
+    )
+
+
 def q_tfidf_scores(sf_dir: str):
     """Two-pass TF-IDF scoring: bounded top-1000-token vocabulary
     (driver-collected, broadcast) then one streaming score pass;
@@ -775,6 +788,7 @@ def queries() -> dict:
         "vocab_top_terms": q_vocab_top_terms,
         "chars_quantiles": q_chars_quantiles,
         "tfidf_scores": q_tfidf_scores,
+        "dedup_apply": q_dedup_apply,
         # the extract/ANN/media queries below are rows-only (non-SQL);
         # the dedup/lang/fingerprint/approx ones gained oracles in r2
         "extract_canonical": q_extract_canonical,
@@ -843,6 +857,11 @@ def _base_oracles() -> dict:
             )
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
             FROM hits GROUP BY doc_id
+        """,
+        "dedup_apply": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY text)
         """,
         "tfidf_scores": f"""
             WITH tok AS (

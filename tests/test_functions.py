@@ -183,6 +183,30 @@ def test_lsh_ann_recall(ray_session):
     assert recall >= 0.5, f"LSH recall {recall}"
 
 
+def test_anti_join_and_droplist_planted(ray_session):
+    """anti_join drops exactly the keys present on the right;
+    exact_droplist names every non-min duplicate doc_id."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import relational
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en"},
+        {"doc_id": 5, "text": "alpha beta", "lang": "en"},   # dup of 1
+        {"doc_id": 3, "text": "gamma", "lang": "fr"},
+        {"doc_id": 9, "text": "alpha beta", "lang": "de"},   # dup of 1
+        {"doc_id": 7, "text": "delta", "lang": "en"},
+    ]
+    docs = rd.from_items(rows, override_num_blocks=2)
+    drop = dedup.exact_droplist(docs)
+    assert sorted(r["doc_id"] for r in drop.take_all()) == [5, 9]
+    kept = _collect(
+        relational.anti_join(docs, drop, key="doc_id", left_cols=["lang"])
+    ).to_pylist()
+    assert sorted((r["doc_id"], r["lang"]) for r in kept) == \
+        [(1, "en"), (3, "fr"), (7, "en")]
+
+
 def test_grouped_quantiles_planted(ray_session):
     """Exact discrete quantiles across multiple blocks; rank semantics
     = DuckDB quantile_disc (1-based max(1, ceil(n*q)))."""
@@ -236,7 +260,8 @@ def test_vocab_df_partial_counts_documents_not_occurrences():
                                   "events_hourly", "exact_dedup",
                                   "doc_token_stats", "knn_cosine",
                                   "decontaminate", "vocab_top_terms",
-                                  "chars_quantiles", "tfidf_scores"])
+                                  "chars_quantiles", "tfidf_scores",
+                                  "dedup_apply"])
 def test_queries_match_oracle_sf0001(ray_session, name):
     """The driver's correctness gate in miniature at sf0.001."""
     from ollama_ocr_ray.queries import oracle_sql, queries
