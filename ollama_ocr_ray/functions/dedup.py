@@ -311,21 +311,30 @@ def _simhash_pairs_block(batch: pa.Table, max_hamming: int) -> pa.Table:
             continue
         ids = ids_all[s:e]
         sh = sh_all[s:e]
-        x = sh[:, None] ^ sh[None, :]
-        d = np.unpackbits(x.view(np.uint8).reshape(len(sh), len(sh), 8),
-                          axis=2).sum(axis=2)
+        # XOR/popcount only on the upper-triangle pair INDICES — a
+        # dense n x n matrix would cost O(n^2) memory per bucket and a
+        # hot bucket (templated boilerplate sharing one band value) can
+        # hold many thousands of docs
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = (d[iu, ju] <= max_hamming) & (ids[iu] != ids[ju])
-        for i, j, v in zip(iu[keep], ju[keep], d[iu[keep], ju[keep]]):
-            a, b = sorted((int(ids[i]), int(ids[j])))
-            a_out.append(a)
-            b_out.append(b)
-            d_out.append(int(v))
+        x = sh[iu] ^ sh[ju]
+        d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                          axis=1).sum(axis=1)
+        keep = (d <= max_hamming) & (ids[iu] != ids[ju])
+        ai, bi = ids[iu[keep]], ids[ju[keep]]
+        a_out.append(np.minimum(ai, bi))
+        b_out.append(np.maximum(ai, bi))
+        d_out.append(d[keep])
+    if a_out:
+        a_np = np.concatenate(a_out)
+        b_np = np.concatenate(b_out)
+        d_np = np.concatenate(d_out)
+    else:
+        a_np = b_np = d_np = np.array([], dtype=np.int64)
     return pa.table(
         {
-            "a_id": pa.array(a_out, type=pa.int64()),
-            "b_id": pa.array(b_out, type=pa.int64()),
-            "hamming": pa.array(d_out, type=pa.int32()),
+            "a_id": pa.array(a_np.astype(np.int64), type=pa.int64()),
+            "b_id": pa.array(b_np.astype(np.int64), type=pa.int64()),
+            "hamming": pa.array(d_np.astype(np.int32), type=pa.int32()),
         }
     )
 
@@ -827,6 +836,17 @@ def dup_clusters(pairs, *, max_iter: int = 16,
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # exhausting max_iter without a fixed point means labels are
+        # still intermediate — returning them silently would emit wrong
+        # cluster ids (one hop propagates per round, so a dup chain
+        # longer than max_iter hops from its min node stays split).
+        # Fail loudly instead.
+        raise RuntimeError(
+            f"dup_clusters: label propagation did not converge in "
+            f"{max_iter} rounds (a dup chain is longer than {max_iter} "
+            f"hops from its component's min doc_id); raise max_iter"
+        )
 
     return labels.map_batches(
         lambda b: pa.table(

@@ -27,13 +27,19 @@ class PrepAnnotate:
         self._lang = LangId()  # marker tables built once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # gate FIRST: the per-char fingerprint chain and lang-ID are the
+        # stage's dominant cost, so rejected docs must not pay them
         q = quality_score_batch(batch)
-        lang = self._lang(batch).column("pred_lang")
-        fp = fingerprint_batch(batch).column("fingerprint")
-        t = q.append_column("pred_lang", lang).append_column("fingerprint", fp)
-        keep = t.column("quality_score").to_numpy(zero_copy_only=False) \
+        keep = pa.array(
+            q.column("quality_score").to_numpy(zero_copy_only=False)
             >= self.thr
-        return t.filter(pa.array(keep)).select(
+        )
+        q = q.filter(keep)
+        survivors = batch.filter(keep)  # still carries the text column
+        lang = self._lang(survivors).column("pred_lang")
+        fp = fingerprint_batch(survivors).column("fingerprint")
+        t = q.append_column("pred_lang", lang).append_column("fingerprint", fp)
+        return t.select(
             ["doc_id", "pred_lang", "n_chars", "quality_score", "fingerprint"]
         )
 

@@ -233,7 +233,6 @@ def embedding_near_dup_blocked(embeddings, threshold: float,
     why the exact plan is the oracle-matched default.
     """
     B = n_blocks
-    dim_probe = {}
 
     def replicate(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()

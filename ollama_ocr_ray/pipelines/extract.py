@@ -131,8 +131,11 @@ def extract_pipeline(
     # three exchange operators downstream that halves the OCR pool's
     # effective task budget (measured: 64 of 110 actors busy).  The
     # pool max already leaves explicit CPU slack, so release the
-    # reservation for this plan only (Dataset.context is a per-dataset
-    # copy, not the process singleton — no session-wide mutation).
+    # reservation.  Scope caveat: ``docs.context`` is this DATASET's
+    # context (not the process singleton), but pipelines later derived
+    # from the SAME ``docs`` object inherit it — callers that reuse one
+    # Dataset across pipelines should pass a fresh read (every caller
+    # in this repo does).
     docs.context.op_resource_reservation_enabled = False
     ocr_kwargs = {
         "burn_iters": ocr_burn,

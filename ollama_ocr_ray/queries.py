@@ -484,7 +484,13 @@ def q_approx_users(sf_dir: str):
     driver-checkable accuracy gate: the estimate must land within 5% of
     the exact distinct count (computed distributed alongside), so the
     oracle is simply ``within_5pct = TRUE`` per event_type (VERDICT r1
-    #5 — the raw estimate itself is pinned to ±2% in pytest)."""
+    #5 — the raw estimate itself is pinned to ±2% in pytest).
+
+    The exact pass exists ONLY to make the estimate driver-checkable —
+    it doubles this query's cost by design; production use is
+    ``sketches.approx_distinct`` alone (one pass, sketch-sized
+    exchange).  The pytest ±2% bound is the independent check; this
+    gate is the driver-visible summary of it."""
     from ray.data.aggregate import Count
 
     from .functions.sketches import approx_distinct
