@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--overwrite", action="store_true",
                     help="prep job: replace a non-empty --output dir "
                          "instead of failing fast")
+    ap.add_argument("--partition-by", default=None,
+                    help="prep job: hive-partition the parquet output by "
+                         "this column (e.g. pred_lang) — one directory "
+                         "per value, so downstream jobs prune at the read")
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="prep job: globally shuffle the kept rows before "
                          "writing (the standard pre-training export step; "
@@ -91,7 +95,10 @@ def main(argv=None) -> int:
             )
             if args.shuffle_seed is not None:
                 out = out.random_shuffle(seed=args.shuffle_seed)
-            out.write_parquet(args.output)
+            wkw = {}
+            if args.partition_by:
+                wkw["partition_cols"] = [args.partition_by]
+            out.write_parquet(args.output, **wkw)
             kept = rd.read_parquet(args.output).count()
             print(json.dumps({"job": "prep", "rows_kept": kept,
                               "output": args.output}))
