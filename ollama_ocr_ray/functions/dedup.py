@@ -344,9 +344,10 @@ def simhash_dup_pairs(docs, *, max_hamming: int = 3, concurrency=None):
     Hamming distance ≤ max_hamming (banding guarantees recall for ≤ 3
     differing bits across 4 bands by pigeonhole).
 
-    Task pool by default (the per-task token-hash cache still amortizes
-    within a batch); pass ``concurrency`` for a pinned actor pool whose
-    cache persists across batches."""
+    Task pool by default (the hasher vectorizes over each batch's
+    unique tokens, so there is no warm-up state worth pinning); pass
+    ``concurrency`` for a pinned actor pool anyway when the stage
+    should be isolated from task-dispatch churn."""
     from ray.data.aggregate import Min
 
     if concurrency is None:
@@ -388,20 +389,33 @@ def _lsh_band_rows(docs, make_hasher, *, bands: int, concurrency=None):
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
             sigs = self._h.signature_batch(texts)
-            r = self._rows_per_band
-            out_key, out_idx = [], []
-            for i in range(len(texts)):
-                sig = sigs[i]
-                for b in range(bands):
-                    seg = sig[b * r:(b + 1) * r]
-                    key = hash((b,) + tuple(int(x) for x in seg)) \
-                        & ((1 << 62) - 1)
-                    out_key.append(key)
-                    out_idx.append(i)
+            n, r = len(texts), self._rows_per_band
+            if n == 0:
+                return pa.table(
+                    {"bucket": pa.array([], type=pa.int64()),
+                     "doc_id": ids.slice(0, 0)}
+                )
+            # vectorized band keys (VERDICT r2 #8): FNV-style fold over
+            # the (docs, bands, r) reshape — the Python loop runs over r
+            # (4-ish values), never over docs.  Any deterministic mix of
+            # the band segment works: identical segments (the banding
+            # recall guarantee) still collide, and false bucket
+            # collisions are discarded by the exact verify stage.
+            sig3 = sigs.astype(np.uint64, copy=False).reshape(n, bands, r)
+            prime = np.uint64(1099511628211)
+            acc = np.broadcast_to(
+                (np.uint64(14695981039346656037)
+                 ^ np.arange(bands, dtype=np.uint64)) * prime,
+                (n, bands),
+            ).copy()
+            for j in range(r):
+                acc = (acc ^ sig3[:, :, j]) * prime
+            bucket = (acc & np.uint64((1 << 62) - 1)).astype(np.int64)
+            out_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
             return pa.table(
                 {
-                    "bucket": pa.array(out_key, type=pa.int64()),
-                    "doc_id": ids.take(pa.array(out_idx, type=pa.int64())),
+                    "bucket": pa.array(bucket.reshape(-1), type=pa.int64()),
+                    "doc_id": ids.take(pa.array(out_idx)),
                 }
             )
 
@@ -705,7 +719,12 @@ def _cc_propagate_block(batch: pa.Table) -> pa.Table:
     starts, _ = _segment_bounds(batch.column("key"))
     seg_of_row = np.searchsorted(starts, np.arange(len(key)), side="right") - 1
     lab_mask = is_label.astype(bool)
-    seg_label = np.empty(len(starts), dtype=np.int64)
+    # identity default: a segment that (illegally) lacks its label row —
+    # e.g. a block split mid-segment, or a caller unioning mismatched
+    # keys — labels itself rather than propagating uninitialized memory
+    # (ADVICE r2); propagation then converges to the same fixpoint or
+    # trips the non-convergence guard loudly.
+    seg_label = key[starts].copy()
     seg_label[seg_of_row[lab_mask]] = val[lab_mask]
     # edge rows send the segment label to their neighbor; the label row
     # keeps it on the node itself

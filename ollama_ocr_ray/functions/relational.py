@@ -143,17 +143,25 @@ def events_hourly(events):
     """Tumbling 1-hour windows per event_type: row count, distinct
     users, exact sum(value) via 1e6 scaling.
 
-    Window key is computed vectorized; the groupby is the one exchange.
-    (Distinct-user exact counting shuffles (key, user) rows — the scale
-    path swaps in an HLL sketch partial; exact is right at test sizes.)
+    Sorted-block segment pass (VERDICT r2 #2): each map batch first
+    pre-aggregates to one row per (event_type, window, user) — count +
+    value partials — so repeated (window, user) activity collapses
+    before the exchange; ONE sort co-locates each window's rows, and a
+    single vectorized block pass folds every window in the block (no
+    per-group Python calls; round 1 proved per-group ``map_groups`` is
+    the dominant cost at millions of windows).  Distinct-user exact
+    counting still ships one row per (window, user) — the scale path
+    swaps in the HLL partial (``sketches.approx_users``); exact is the
+    oracle-checkable variant.  Relies on the sorted-block invariant
+    (equal sort keys don't split across sort-output blocks), documented
+    at ``hash_join``.
     """
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        ts = batch.column("ts")
-        win = pc.floor_temporal(ts, unit="hour")
+        win = pc.floor_temporal(batch.column("ts"), unit="hour").cast(pa.int64())
         v = batch.column("value").to_numpy(zero_copy_only=False)
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "window_start": win,
@@ -161,27 +169,68 @@ def events_hourly(events):
                 "value_micro": pa.array(
                     np.floor(v * 1e6 + 0.5).astype(np.int64)
                 ),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
             }
         )
+        return t.group_by(["event_type", "window_start", "user_id"]).aggregate(
+            [("value_micro", "sum"), ("one", "sum")]
+        )
 
-    rows = events.map_batches(add_window, batch_format="pyarrow")
+    rows = events.map_batches(partial, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
+         ("n_events", pa.int64()), ("n_users", pa.int64()),
+         ("sum_value", pa.float64())]
+    )
 
-    def per_group(group: pa.Table) -> pa.Table:
-        group = group.combine_chunks()
-        users = group.column("user_id").to_numpy(zero_copy_only=False)
-        micro = group.column("value_micro").to_numpy(zero_copy_only=False)
+    def fold_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("event_type", "ascending"),
+                       ("window_start", "ascending"),
+                       ("user_id", "ascending")],
+        )
+        batch = batch.take(idx).combine_chunks()
+        # dictionary codes so segment detection compares int8/16, not strings
+        et_codes = (
+            batch.column("event_type").chunk(0).dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        win = np.asarray(batch.column("window_start"))
+        uid = np.asarray(batch.column("user_id"))
+        micro = np.asarray(batch.column("value_micro_sum"))
+        cnt = np.asarray(batch.column("one_sum"))
+        from .dedup import _segment_bounds
+
+        starts, _ = _segment_bounds(et_codes, win)
+        # a row opens a new distinct user iff it starts a segment or its
+        # user differs from the previous row (rows are (key, user)-sorted)
+        new_user = np.ones(len(uid), dtype=np.int64)
+        new_user[1:] = (
+            (et_codes[1:] != et_codes[:-1])
+            | (win[1:] != win[:-1])
+            | (uid[1:] != uid[:-1])
+        ).astype(np.int64)
         return pa.table(
             {
-                "event_type": group.column("event_type").slice(0, 1),
-                "window_start": group.column("window_start").slice(0, 1),
-                "n_events": pa.array([len(group)], type=pa.int64()),
-                "n_users": pa.array([len(np.unique(users))], type=pa.int64()),
-                "sum_value": pa.array([float(np.sum(micro)) / 1e6]),
+                "event_type": batch.column("event_type").take(pa.array(starts)),
+                "window_start": batch.column("window_start")
+                .take(pa.array(starts)).cast(pa.timestamp("us")),
+                "n_events": pa.array(np.add.reduceat(cnt, starts),
+                                     type=pa.int64()),
+                "n_users": pa.array(np.add.reduceat(new_user, starts),
+                                    type=pa.int64()),
+                "sum_value": pa.array(np.add.reduceat(micro, starts) / 1e6,
+                                      type=pa.float64()),
             }
-        )
+        ).cast(out_schema)
 
-    return rows.groupby(["event_type", "window_start"]).map_groups(
-        per_group, batch_format="pyarrow"
+    return rows.sort(["event_type", "window_start"]).map_batches(
+        fold_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -473,40 +522,77 @@ def build_orders_by_cust(orders_table: pa.Table) -> dict:
 
 def sessionize(events, gap_minutes: int = 30):
     """Gap-based sessionization per user: a session breaks when the
-    inter-event gap exceeds ``gap_minutes``.  One shuffle
-    (groupby(user_id)); the per-group body is vectorized numpy over the
-    sorted timestamps.  Output: one row per session."""
-    gap_us = gap_minutes * 60 * 1_000_000
+    inter-event gap exceeds ``gap_minutes``.  Output: one row per
+    session.
 
-    def per_user(group: pa.Table) -> pa.Table:
-        group = group.combine_chunks()
-        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = group.column("value").to_numpy(zero_copy_only=False)
-        micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
-        order = np.argsort(ts, kind="stable")
-        ts, micro = ts[order], micro[order]
-        brk = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_us])
-        sid = np.cumsum(brk) - 1
-        n_sessions = int(sid[-1]) + 1 if len(sid) else 0
-        starts = np.flatnonzero(brk)
-        ends = np.concatenate([starts[1:], [len(ts)]])
-        sum_micro = np.add.reduceat(micro, starts) if len(ts) else np.array([])
-        uid = group.column("user_id")[0].as_py()
+    Sorted-block segment pass (VERDICT r2 #2, replacing per-user
+    ``map_groups``): project to (user_id, ts:int64, value_micro), ONE
+    sort on user_id co-locates each user's events, then a single
+    vectorized pass per block computes all session breaks at once —
+    a break is a user change OR a gap over the threshold, so the
+    per-user loop disappears entirely.  Same plan shape as
+    ``asof_last_order_partitioned``'s merge; relies on the sorted-block
+    invariant documented at ``hash_join``.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("session_start", pa.timestamp("us")),
+         ("session_end", pa.timestamp("us")), ("n_events", pa.int64()),
+         ("sum_value", pa.float64())]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "user_id": pa.array([uid] * n_sessions, type=pa.int64()),
-                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
-                    pa.timestamp("us")
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "value_micro": pa.array(
+                    np.floor(v * 1e6 + 0.5).astype(np.int64)
                 ),
-                "session_end": pa.array(
-                    ts[ends - 1], type=pa.int64()
-                ).cast(pa.timestamp("us")),
-                "n_events": pa.array(ends - starts, type=pa.int64()),
-                "sum_value": pa.array(sum_micro / 1e6, type=pa.float64()),
             }
         )
 
-    return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    def sessions_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        idx = pc.sort_indices(
+            batch, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        batch = batch.take(idx).combine_chunks()
+        k = np.asarray(batch.column("user_id"))
+        ts = np.asarray(batch.column("ts"))
+        micro = np.asarray(batch.column("value_micro"))
+        n = len(k)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (k[1:] != k[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]])
+        return pa.table(
+            {
+                "user_id": pa.array(k[starts], type=pa.int64()),
+                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(ts[ends - 1], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "sum_value": pa.array(
+                    np.add.reduceat(micro, starts) / 1e6, type=pa.float64()
+                ),
+            }
+        ).cast(out_schema)
+
+    return (
+        events.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .sort("user_id")
+        .map_batches(sessions_block, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
 
 
 PRICE_BANDS = [
@@ -698,6 +784,51 @@ def top_orders_per_segment(orders, customer_lookup: dict, n: int = 3):
 # --- general large-x-large equi-join ----------------------------------------
 
 
+def assert_sorted_block_invariant(sorted_ds, key_cols: list[str]) -> int:
+    """Debug guard for the sorted-block invariant (see ``hash_join``).
+
+    Reduces each block of an already-sorted Dataset to its (min, max)
+    key tuple — a few rows per block cross the wire, never the data —
+    and asserts on the driver that no key appears in two blocks (ranges
+    may not touch).  Returns the number of blocks checked.  Cheap
+    enough to run on a sample of a 100 TB job; tests run it on every
+    sorted-kernel plan at full (test) size.
+    """
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {c: pa.nulls(0, type=batch.schema.field(c).type)
+                 for c in key_cols} | {"__pos": pa.nulls(0, pa.string())}
+            )
+        batch = batch.combine_chunks()
+        lo = batch.select(key_cols).slice(0, 1)
+        hi = batch.select(key_cols).slice(len(batch) - 1, 1)
+        t = pa.concat_tables([lo, hi])
+        return t.append_column("__pos", pa.array(["min", "max"]))
+
+    # batch_size=None => one call per block, so each output pair IS one
+    # block's bounds; take_all is bounded (2 rows per block)
+    rows = sorted_ds.map_batches(
+        bounds, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    blocks = []
+    for i in range(0, len(rows) - 1, 2):
+        lo, hi = rows[i], rows[i + 1]
+        blocks.append((tuple(lo[c] for c in key_cols),
+                       tuple(hi[c] for c in key_cols)))
+    blocks.sort()
+    for (prev_lo, prev_hi), (cur_lo, cur_hi) in zip(blocks, blocks[1:]):
+        if cur_lo <= prev_hi:
+            raise AssertionError(
+                f"sorted-block invariant violated: key {cur_lo!r} spans "
+                f"two blocks (prev block ends at {prev_hi!r}) — a key's "
+                f"rows exceed target_max_block_size; pre-aggregate, salt, "
+                f"or raise the block size (see hash_join docstring)"
+            )
+    return len(blocks)
+
+
 def hash_join(left, right, *, key: str, left_cols: list[str],
               right_cols: list[str]):
     """Inner equi-join of two LARGE Datasets by co-partitioning: tag
@@ -707,11 +838,23 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     joins (``segment_revenue``, ``top_suppliers``) cannot cover — at
     100 TB neither side fits a driver dict.
 
-    Partitioning assumption (documented per the survey convention):
+    Partitioning assumption (documented per the survey convention, and
+    relied on by EVERY sorted-block kernel in this repo: ``anti_join``,
+    ``sessionize``, ``events_hourly``, ``asof_last_order_partitioned``,
+    ``top_unshipped_orders``, ``dedup._segment_bounds`` consumers):
     Ray's range-partitioned sort places equal keys in one block — the
-    same invariant ``groupby`` relies on.  A heavily skewed hot key
-    therefore serializes into a single merge task; pre-aggregate the
-    skewed side first (``top_unshipped_orders`` does) or salt the key.
+    same invariant ``groupby`` relies on.  BOUND: this holds only while
+    a sort-output block stays under ``DataContext.target_max_block_size``
+    (128 MiB default) — Ray splits an oversized block on row boundaries,
+    which could cut an equal-key run in two and silently turn per-block
+    exact folds into partial ones.  So the real invariant is
+    ``max_rows_per_key x row_width < target_max_block_size``; at 100 TB
+    either pre-aggregate the hot side below that bound (as
+    ``top_unshipped_orders`` does), salt the key, or raise the block
+    size for the join stage.  ``assert_sorted_block_invariant`` below is
+    the debug-mode guard — tests run it, and production jobs can
+    spot-check with it on a sample.  A heavily skewed hot key also
+    serializes into a single merge task even when correct; same fixes.
     Each side's payload crosses the wire exactly once.
     """
     lschema = left.schema().base_schema

@@ -2,8 +2,9 @@
 quality scoring, language-ID heuristic, document fingerprints.
 
 All hot paths are vectorized over Arrow batches (pyarrow.compute string
-kernels + numpy segment reductions); the only Python-per-row loops are
-in fingerprinting where the kernel is a per-document hash chain.
+kernels + numpy segment reductions), including the mod-(2^61-1) hash
+chains (``_mulmod61``/``_polyhash_segments``); the scalar Python-int
+chains are kept only as property-test references.
 """
 
 from __future__ import annotations
@@ -204,6 +205,7 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 # --- fingerprints -----------------------------------------------------------
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 262_147
+_M61 = np.uint64(_FP_MOD)
 
 
 def rolling_fingerprint(text: str) -> int:
@@ -211,16 +213,151 @@ def rolling_fingerprint(text: str) -> int:
     over unicode CODEPOINTS — codepoints (not utf-8 bytes) so the same
     chain is expressible in SQL (DuckDB ``list_reduce`` over
     ``unicode(c)``), which is what makes this operator driver-oracle
-    checkable (VERDICT r1 #5)."""
+    checkable (VERDICT r1 #5).
+
+    This Python-int chain is the REFERENCE kernel: the hot path is
+    ``fingerprint_texts`` (exact same value, vectorized); the property
+    tests assert bit-identity between the two."""
     h = 0
     for c in text:
         h = (h * _FP_BASE + ord(c) + 1) % _FP_MOD
     return h
 
 
+def _mulmod61(a, b):
+    """Exact (a*b) mod 2^61-1 on uint64 arrays, for a, b < 2^61.
+
+    32-bit split (VERDICT r2 #3): a*b = a1*b1*2^64 + (a1*b0+a0*b1)*2^32
+    + a0*b0 with 2^61 === 1 (mod M), so 2^64 === 8 and m*2^32 folds as
+    (m >> 29) + ((m & (2^29-1)) << 32).  Every intermediate stays below
+    2^63, so plain uint64 wraparound never triggers — unlike the minhash
+    ``_perm_values`` kernel, which tolerates wraparound because only
+    candidate recall depends on it, this one is bit-exact (the SQL
+    oracles recompute the same chain in HUGEINT)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a1, a0 = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    b1, b0 = b >> np.uint64(32), b & np.uint64(0xFFFFFFFF)
+    hi = a1 * b1                    # < 2^58
+    mid = a1 * b0 + a0 * b1         # < 2^62
+    lo = a0 * b0                    # < 2^64, fold below
+    t_hi = hi * np.uint64(8)        # 2^64 === 8  (mod M), < 2^61
+    t_mid = (mid >> np.uint64(29)) + (
+        (mid & np.uint64((1 << 29) - 1)) << np.uint64(32)
+    )                               # < 2^33 + 2^61
+    t_lo = (lo >> np.uint64(61)) + (lo & _M61)   # < 2^61 + 8
+    s = t_hi + t_mid + t_lo         # < 2^63
+    s = (s >> np.uint64(61)) + (s & _M61)
+    s = (s >> np.uint64(61)) + (s & _M61)
+    return s - (s >= _M61) * _M61   # branch-free conditional subtract
+
+
+def _addmod61(a, b):
+    """Exact (a+b) mod 2^61-1 for a, b < 2^61."""
+    s = np.asarray(a, dtype=np.uint64) + np.asarray(b, dtype=np.uint64)
+    s = (s >> np.uint64(61)) + (s & _M61)
+    return s - (s >= _M61) * _M61   # branch-free conditional subtract
+
+
+# B^0.. mod M, grown by doubling and CAPPED: a power table sized to the
+# longest document would be O(doc length) memory (a 100M-char doc =
+# an 800 MB table); docs beyond the cap fold through ``_polyhash_long``
+# in cap-sized Horner chunks instead.
+_PW_MAX = 1 << 20
+_FP_POW = np.array([1], dtype=np.uint64)
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    global _FP_POW
+    assert n <= _PW_MAX + 1
+    while len(_FP_POW) < n:
+        step = _mulmod61(_FP_POW[-1:], np.uint64(_FP_BASE))  # B^len
+        _FP_POW = np.concatenate([_FP_POW, _mulmod61(_FP_POW, step)])
+    return _FP_POW
+
+
+def _polyhash_long(text: str) -> np.uint64:
+    """Horner fold over cap-sized chunks: h = h*B^|piece| + poly(piece)
+    (mod M) — same value as the one-shot polynomial, bounded memory."""
+    h = np.uint64(0)
+    pw = _fp_powers(_PW_MAX + 1)
+    for i in range(0, len(text), _PW_MAX):
+        piece = text[i:i + _PW_MAX]
+        p = _polyhash_segments(
+            _codepoints([piece]), np.array([len(piece)], dtype=np.int64)
+        )[0]
+        h = _addmod61(_mulmod61(h, pw[len(piece)]), p)
+    return np.uint64(h)
+
+
+def _polyhash_segments(cp: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Exact Horner-chain hash of each codepoint segment, vectorized
+    over ALL segments at once: fp = sum (cp_i+1) * B^(L-1-i)  (mod M).
+
+    The per-segment mod-sum uses a 32-bit split of the terms so
+    ``np.add.reduceat`` cannot overflow: sum of the low halves is
+    < L*2^32 and of the high halves < L*2^29 — exact for segments up to
+    2^29 codepoints (half a billion chars per doc; anything bigger
+    should be chunk-hashed upstream).  Empty segments hash to 0, same
+    as the Python-int chain."""
+    out = np.zeros(len(lengths), dtype=np.uint64)
+    nonempty = lengths > 0
+    if not nonempty.any():
+        return out
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    pw = _fp_powers(int(lengths.max()))
+    pos = np.arange(len(cp), dtype=np.int64) - np.repeat(bounds[:-1], lengths)
+    exp = np.repeat(lengths, lengths) - 1 - pos
+    terms = _mulmod61(cp.astype(np.uint64) + np.uint64(1), pw[exp])
+    st = bounds[:-1][nonempty]
+    lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), st)
+    hi = np.add.reduceat(terms >> np.uint64(32), st)
+    lo = (lo >> np.uint64(61)) + (lo & _M61)     # < 2^61
+    s = lo + _mulmod61(hi, np.uint64(1) << np.uint64(32))   # < 2^62
+    s = (s >> np.uint64(61)) + (s & _M61)
+    s = (s >> np.uint64(61)) + (s & _M61)
+    out[nonempty] = s - (s >= _M61) * _M61
+    return out
+
+
+def _codepoints(texts: list[str]) -> np.ndarray:
+    """Concatenated unicode codepoints of ``texts`` as uint32 — one C
+    pass (utf-32 encode + frombuffer), no Python loop over chars."""
+    joined = "".join(texts)
+    return np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+
+
+def fingerprint_texts(texts: list[str]) -> np.ndarray:
+    """Vectorized ``rolling_fingerprint`` of every text (bit-identical;
+    VERDICT r2 #3 replaced the per-codepoint Python loop).  Chunked over
+    docs so the O(total-codepoints) temporaries stay ~a few hundred MB
+    regardless of batch size."""
+    lengths = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                          count=len(texts))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    chunk_cp = 1 << 23
+    lo = 0
+    while lo < len(texts):
+        if lengths[lo] > _PW_MAX:
+            out[lo] = _polyhash_long(texts[lo])
+            lo += 1
+            continue
+        hi, tot = lo, 0
+        while (hi < len(texts) and lengths[hi] <= _PW_MAX
+               and (hi == lo or tot + lengths[hi] <= chunk_cp)):
+            tot += lengths[hi]
+            hi += 1
+        cp = _codepoints(texts[lo:hi])
+        out[lo:hi] = _polyhash_segments(cp, lengths[lo:hi])
+        lo = hi
+    return out
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    fps = [rolling_fingerprint(t) for t in batch.column("text").to_pylist()]
-    return batch.append_column("fingerprint", pa.array(fps, type=pa.int64()))
+    fps = fingerprint_texts(batch.column("text").to_pylist())
+    return batch.append_column(
+        "fingerprint", pa.array(fps.astype(np.int64), type=pa.int64())
+    )
 
 
 # SimHash token hash: Karp-Rabin codepoint chain (the same chain as
@@ -236,6 +373,8 @@ SIMHASH_BITS = 60  # hash values live below the 61-bit Mersenne prime
 
 
 def _token_hash60(token: str) -> int:
+    """REFERENCE kernel (Python ints, used by the scalar path and the
+    bit-identity property tests); the hot path is ``_token_hash_vec``."""
     h = 0
     for c in token:
         h = (h * _FP_BASE + ord(c) + 1) % _FP_MOD
@@ -244,26 +383,46 @@ def _token_hash60(token: str) -> int:
     return h
 
 
+def _token_hash_vec(tokens: list[str]) -> np.ndarray:
+    """Vectorized ``_token_hash60`` over a token list: one polyhash pass
+    over the concatenated codepoints, then the two mixing rounds as
+    array ops (VERDICT r2 #3)."""
+    lengths = np.fromiter((len(t) for t in tokens), dtype=np.int64,
+                          count=len(tokens))
+    if lengths.size and int(lengths.max()) > _PW_MAX:
+        # pathological mega-tokens: chunk-fold those, vectorize the rest
+        short = lengths <= _PW_MAX
+        h = np.zeros(len(tokens), dtype=np.uint64)
+        h[short] = _polyhash_segments(
+            _codepoints([t for t, s in zip(tokens, short) if s]),
+            lengths[short],
+        )
+        for i in np.nonzero(~short)[0]:
+            h[i] = _polyhash_long(tokens[i])
+    else:
+        h = _polyhash_segments(_codepoints(tokens), lengths)
+    for b2, c1 in _SIMHASH_MIX:
+        h = _mulmod61(h, np.uint64(b2)) + np.uint64(c1)   # < 2^61 + 2^32
+        h = (h >> np.uint64(61)) + (h & _M61)
+        h = h - (h >= _M61) * _M61
+    return h
+
+
 class SimHasher:
-    """60-bit SimHash over whitespace tokens.  Per-actor token-hash
-    cache amortizes hashing across batches (vocabulary repeats)."""
-
-    def __init__(self):
-        self._cache: dict[str, int] = {}
-
-    def _h(self, tok: str) -> int:
-        v = self._cache.get(tok)
-        if v is None:
-            v = _token_hash60(tok)
-            self._cache[tok] = v
-        return v
+    """60-bit SimHash over whitespace tokens, vectorized per batch:
+    tokenize (C-level ``str.split``), hash the batch's UNIQUE tokens in
+    one ``_token_hash_vec`` pass (vocabulary repeats make uniques far
+    fewer than positions), then fold the per-position bit matrix into
+    per-doc bit-majority sums with one ``add.reduceat`` — no per-token
+    or per-doc Python loop (VERDICT r2 #3)."""
 
     _SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
+        """Scalar reference chain (property-tested against __call__)."""
         acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
         for tok in text.split():
-            h = np.uint64(self._h(tok))
+            h = np.uint64(_token_hash60(tok))
             bits = ((h >> self._SHIFTS) & np.uint64(1)).astype(np.int64)
             acc += 2 * bits - 1
         out = 0
@@ -272,11 +431,46 @@ class SimHasher:
                 out |= 1 << i
         return out
 
+    def simhash_texts(self, texts: list[str]) -> np.ndarray:
+        tok_lists = [t.split() for t in texts]
+        counts = np.fromiter((len(tk) for tk in tok_lists), dtype=np.int64,
+                             count=len(tok_lists))
+        flat = [tok for tk in tok_lists for tok in tk]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return out
+        uniq, inv = np.unique(np.array(flat, dtype=object),
+                              return_inverse=True)
+        tok_hash = _token_hash_vec(list(uniq))[inv]
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        nonempty = counts > 0
+        acc = np.zeros((len(texts), SIMHASH_BITS), dtype=np.int64)
+        # chunk docs so the (positions x 60) int32 bit matrix stays ~50 MB
+        chunk_pos = 200_000
+        lo = 0
+        while lo < len(texts):
+            hi = lo + 1
+            while hi < len(texts) and bounds[hi + 1] - bounds[lo] <= chunk_pos:
+                hi += 1
+            seg = tok_hash[bounds[lo]:bounds[hi]]
+            if len(seg):
+                contrib = (
+                    2 * ((seg[:, None] >> self._SHIFTS[None, :])
+                         & np.uint64(1)).astype(np.int32) - 1
+                )
+                ne = nonempty[lo:hi]
+                st = (bounds[lo:hi] - bounds[lo])[ne]
+                acc[lo:hi][ne] = np.add.reduceat(contrib, st, axis=0)
+            lo = hi
+        pos_bits = (acc > 0).astype(np.uint64)
+        return (pos_bits << self._SHIFTS[None, :]).sum(axis=1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        sh = self.simhash_texts(batch.column("text").to_pylist())
         # int64 view of the uint64 hash (Arrow-friendly)
-        arr = np.array(sh, dtype=np.uint64).view(np.int64)
-        return batch.append_column("simhash", pa.array(arr, type=pa.int64()))
+        return batch.append_column(
+            "simhash", pa.array(sh.view(np.int64), type=pa.int64())
+        )
 
 
 def hamming64(a: int, b: int) -> int:

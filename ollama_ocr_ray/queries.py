@@ -1026,11 +1026,14 @@ def _base_oracles() -> dict:
         """,
         # per-item floor(x*100+0.5) cents then BIGINT sum, matching the
         # Ray side bit-for-bit; (revenue DESC, orderkey) makes the
-        # LIMIT deterministic under revenue ties
+        # LIMIT deterministic under revenue ties.  The outer CAST matters:
+        # DuckDB's sum(BIGINT) is HUGEINT, which pandas renders as float64
+        # and breaks the value hash against the Ray side's int64.
         "top_unshipped": """
             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                                  * 100 + 0.5) AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
             FROM orders o
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey

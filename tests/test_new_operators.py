@@ -511,6 +511,26 @@ def test_hash_join_inner_semantics(ray_session):
     }
 
 
+def test_sorted_block_invariant_guard(ray_session):
+    import ray.data as rd
+
+    # well-partitioned sort: guard passes and reports >=1 block
+    ds = rd.range(5000).map_batches(
+        lambda b: {"k": b["id"] % 97, "v": b["id"]}, batch_format="numpy"
+    ).repartition(8).sort("k")
+    n_blocks = relational.assert_sorted_block_invariant(ds, ["k"])
+    assert n_blocks >= 1
+
+    # a hand-built violation (same key in two blocks) must raise
+    import pyarrow as pa
+
+    t1 = pa.table({"k": [1, 2, 2], "v": [0, 0, 0]})
+    t2 = pa.table({"k": [2, 3], "v": [0, 0]})
+    broken = rd.from_arrow([t1, t2])
+    with pytest.raises(AssertionError, match="sorted-block invariant"):
+        relational.assert_sorted_block_invariant(broken, ["k"])
+
+
 def test_top_unshipped_matches_duckdb(ray_session):
     import duckdb
 

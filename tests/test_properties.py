@@ -159,3 +159,72 @@ def test_quantile_rank_matches_sorted_index(vals, q):
     rank = max(1, math.ceil(len(v) * q))
     got = uniq[np.searchsorted(cum, rank, side="left")]
     assert got == v[rank - 1]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-32-le", blacklist_categories=("Cs",)
+            ),
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fingerprint_vectorized_bit_identity(texts):
+    """fingerprint_texts (uint64 hi/lo mulmod kernel) == the Python-int
+    Horner chain, bit-for-bit, for arbitrary unicode (VERDICT r2 #3)."""
+    from ollama_ocr_ray.functions.text import (
+        fingerprint_texts,
+        rolling_fingerprint,
+    )
+
+    got = fingerprint_texts(texts)
+    want = [rolling_fingerprint(t) for t in texts]
+    assert [int(v) for v in got] == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-32-le", blacklist_categories=("Cs",)
+            ),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_simhash_vectorized_bit_identity(texts):
+    """SimHasher.simhash_texts (vectorized unique-token path) == the
+    scalar per-token reference chain (VERDICT r2 #3)."""
+    from ollama_ocr_ray.functions.text import SimHasher, _token_hash60, _token_hash_vec
+
+    sh = SimHasher()
+    got = sh.simhash_texts(texts)
+    assert [int(v) for v in got] == [sh.simhash(t) for t in texts]
+    toks = sorted({tok for t in texts for tok in t.split()})
+    if toks:
+        assert [int(v) for v in _token_hash_vec(toks)] == [
+            _token_hash60(t) for t in toks
+        ]
+
+
+def test_fingerprint_chunking_and_edges():
+    """Chunk boundaries, empty docs, astral-plane codepoints, and a doc
+    larger than the doc-chunk budget all keep bit-identity."""
+    from ollama_ocr_ray.functions import text as ftext
+
+    texts = ["", "a", "€🎉\U0010FFFF", "word " * 5000, "\n\t  ", "z" * 100_000]
+    got = ftext.fingerprint_texts(texts)
+    assert [int(v) for v in got] == [ftext.rolling_fingerprint(t) for t in texts]
+    # one doc bigger than the 2^23-codepoint chunk budget forces the
+    # doc-chunk loop to split mid-batch
+    big = "x" * ((1 << 23) + 17)
+    assert int(ftext.fingerprint_texts([big, "tail"])[1]) == \
+        ftext.rolling_fingerprint("tail")

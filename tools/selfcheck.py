@@ -87,6 +87,23 @@ def main() -> int:
             print(f"{status} {name}: rows {len(got)} != {len(exp)}")
             failures += 1
             continue
+        # The driver hashes raw values, so int64 vs float64 on the same
+        # numbers IS a failure there (caught us once: DuckDB HUGEINT ->
+        # pandas float64).  Compare dtype *kind classes* (int/uint vs
+        # float) per column before the value check.
+        kind_class = {"i": "int", "u": "int", "f": "float"}
+        for col in got.columns:
+            gk = kind_class.get(got[col].dtype.kind)
+            ek = kind_class.get(exp[col].dtype.kind)
+            if gk != ek:
+                status = "FAIL"
+                print(f"{status} {name}: column {col!r} dtype-class "
+                      f"{got[col].dtype} != {exp[col].dtype} "
+                      f"(driver hash would mismatch)")
+                failures += 1
+                break
+        if status == "FAIL":
+            continue
         try:
             pd.testing.assert_frame_equal(
                 got.reset_index(drop=True),
