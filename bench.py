@@ -68,7 +68,13 @@ def run_queries(sf_dir: str, num_cpus: int) -> None:
     _init_ray(num_cpus)
     import ray.data as rd
 
-    rd.range(100).count()  # warm the streaming executor once
+    # warm the executor AND all worker processes once (2 blocks/CPU):
+    # rd.range(100).count() spawned only ~1 worker, so the first heavy
+    # query paid ~1.7 s of worker spawn that looked like a regression
+    # (measured, BASELINE.md r3)
+    rd.range(320_000, override_num_blocks=2 * num_cpus).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
 
     from ollama_ocr_ray.queries import queries
 

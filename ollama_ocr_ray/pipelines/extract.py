@@ -177,15 +177,21 @@ def extract_pipeline(
     # this host (BASELINE.md §dispatch) — trimming 214->64 blocks cut
     # the post-barrier tail ~2x at 120k docs.  The default targets
     # 2 blocks/CPU; at larger scale pass ``reassembly_partitions`` to
-    # keep post-shuffle blocks near the ~128 MB target.
+    # keep post-shuffle blocks near the ~128 MB target.  CAVEAT
+    # (measured, BASELINE.md r3): on a SMALL corpus the default EXPANDS
+    # the block count (8 read blocks -> 64), and those 64 post-sort
+    # dispatches cost ~1-2 s — pass 0 to skip the coalesce entirely
+    # when the input is already a handful of blocks.
     if reassembly_partitions is None:
         reassembly_partitions = max(16, 2 * _cluster_cpus())
+    if reassembly_partitions:
+        spans = spans.repartition(reassembly_partitions)
     # Reassembly exchange: sort on doc_id ONLY (a multi-key distributed
     # sort could place a range boundary inside a document), then one
     # vectorized many-docs-per-block pass — not groupby().map_groups,
     # whose per-group Python call dominated the round-1 bench (2.1x the
     # fused plan; see reassemble_sorted_block docstring).
-    out = spans.repartition(reassembly_partitions).sort("doc_id").map_batches(
+    out = spans.sort("doc_id").map_batches(
         reassemble_sorted_block,
         batch_size=None,
         batch_format="pyarrow",

@@ -219,9 +219,13 @@ def q_extract_canonical(sf_dir: str):
 
     docs = read_documents(_corpus_path(sf_dir))
     # test-scale corpora (<=2k docs): a small fixed pool beats spinning
-    # the full 2-actors-per-CPU fleet (~5s spin for an 8s query)
+    # the full 2-actors-per-CPU fleet (~5s spin for an 8s query), and
+    # reassembly_partitions=0 skips the pre-sort coalesce — the default
+    # would EXPAND 8 read blocks to 64 and pay ~1-2 s of post-sort
+    # driver dispatch (measured, BASELINE.md r3)
     return summary_table(
-        extract_pipeline(docs, with_stats=True, ocr_concurrency=(4, 8))
+        extract_pipeline(docs, with_stats=True, ocr_concurrency=(4, 8),
+                         reassembly_partitions=0)
     )
 
 
@@ -243,9 +247,16 @@ def _read_corpus(sf_dir: str):
 def _spans_digest(batch: pa.Table) -> pa.Table:
     """Flatten extracted rows to a deterministic digest table (rows-only
     compare still benefits from stable content)."""
+    return _digest_rows(batch.to_pylist())
+
+
+def _digest_rows(rows: list[dict]) -> pa.Table:
+    """(doc_id, n_spans, digest) from extracted row dicts — shared by
+    the pipeline side and the oracle side of the parity gates (digest
+    FORMATTING is comparison plumbing; the extraction logic itself
+    stays independently implemented per the span-equality contract)."""
     import hashlib
 
-    rows = batch.to_pylist()
     out = {
         "doc_id": [r["doc_id"] for r in rows],
         "n_spans": [len(r["spans"]) for r in rows],
@@ -268,27 +279,132 @@ def _spans_digest(batch: pa.Table) -> pa.Table:
     )
 
 
+def q_extract_parity(sf_dir: str):
+    """Fused-vs-canonical plan parity as a driver-checkable query
+    (VERDICT r2 #4): one row per doc whose span digest differs between
+    the two plans or which is missing from either — EXPECTED EMPTY, so
+    the SQL oracle is the empty table.  Distributed compare: both plans'
+    digests union into (doc_id, digest, side) rows, ONE sort co-locates
+    each doc's pair, and a vectorized block pass flags bad segments
+    (same sorted-block invariant as ``relational.hash_join``)."""
+    from .pipelines.extract import extract_pipeline, fused_pipeline
+
+    fused = fused_pipeline(_read_corpus(sf_dir), concurrency=(4, 8)) \
+        .map_batches(_spans_digest, batch_format="pyarrow")
+    canon = extract_pipeline(_read_corpus(sf_dir), ocr_concurrency=(4, 8),
+                             reassembly_partitions=0) \
+        .map_batches(_spans_digest, batch_format="pyarrow")
+    return _digest_parity(fused, canon)
+
+
+def _digest_parity(a_ds, b_ds, key: str = "doc_id") -> pa.Table:
+    """Distributed per-doc digest compare of two (doc_id, ..., digest)
+    Datasets: union with a side tag, ONE sort on doc_id, vectorized
+    block pass flags docs without exactly one digest per side or with
+    differing digests.  Returns an arrow Table (expected empty; at
+    worst corpus-bounded diagnostic rows) so the empty case keeps its
+    schema through the driver comparator."""
+    from .functions.dedup import _segment_bounds
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            return pa.table(
+                {
+                    "doc_id": batch.column(key).cast(pa.string()),
+                    "digest": batch.column("digest"),
+                    "side": pa.array(
+                        np.full(len(batch), side, dtype=np.int8)
+                    ),
+                }
+            )
+        return fn
+
+    both = a_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        b_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    out_schema = pa.schema([("doc_id", pa.string()), ("reason", pa.string())])
+
+    def mismatch_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+        starts, ends = _segment_bounds(ids)
+        counts = ends - starts
+        dig = np.asarray(batch.column("digest").to_pylist(), dtype=object)
+        not_pair = counts != 2
+        diff = np.zeros(len(starts), dtype=bool)
+        pair = ~not_pair
+        diff[pair] = dig[starts[pair]] != dig[starts[pair] + 1]
+        sel = not_pair | diff
+        return pa.table(
+            {
+                "doc_id": pa.array(list(ids[starts[sel]]), type=pa.string()),
+                "reason": pa.array(
+                    np.where(not_pair[sel], "n_sides!=2",
+                             "digest-mismatch")
+                ),
+            }
+        ).cast(out_schema)
+
+    mism = both.sort("doc_id").map_batches(
+        mismatch_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # materialize the (expected-empty, at worst corpus-bounded
+    # diagnostic) result as an arrow Table so the empty case still
+    # carries its schema — an empty Dataset iterates zero batches and
+    # the driver's comparator would see zero COLUMNS
+    rows = mism.take_all()
+    return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+def _oracle_digests(sf_dir: str, policy: str):
+    """The independently implemented sequential oracle
+    (``oracle.extract_document``), run DISTRIBUTED over the corpus (it
+    is a pure per-doc function) and digested with the shared formatter —
+    the comparison side of the plan-vs-oracle parity gates."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from . import oracle as omod
+
+        rows = [
+            {"doc_id": d["doc_id"],
+             "spans": omod.extract_document(d, policy=policy)["spans"]}
+            for d in batch.to_pylist()
+        ]
+        return _digest_rows(rows)
+
+    return _read_corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def q_extract_multi(sf_dir: str):
-    """Mode-dispatch parity (R4/R9): the 'multi' policy fans each media
-    span into 3 ordered sub-spans (description / text / objects)."""
+    """Mode-dispatch parity (R4/R9) as a driver-checkable gate
+    (VERDICT r2 #4): the fused 'multi' plan (each media span fans into
+    3 ordered sub-spans) digest-compared against the independent
+    sequential oracle run over the same corpus; expected empty, so the
+    SQL oracle is the empty table."""
     from .pipelines.extract import fused_pipeline
 
-    docs = _read_corpus(sf_dir)
-    return fused_pipeline(docs, policy="multi",
-                          concurrency=(4, 8)).map_batches(
+    fused = fused_pipeline(_read_corpus(sf_dir), policy="multi",
+                           concurrency=(4, 8)).map_batches(
         _spans_digest, batch_format="pyarrow"
     )
+    return _digest_parity(fused, _oracle_digests(sf_dir, "multi"))
 
 
 def q_extract_structured(sf_dir: str):
-    """Structured-extraction parity (R7): receipt-schema JSON spans."""
+    """Structured-extraction parity (R7) as a driver-checkable gate:
+    receipt-schema JSON spans digest-compared against the independent
+    sequential oracle (see ``q_extract_multi``)."""
     from .pipelines.extract import fused_pipeline
 
-    docs = _read_corpus(sf_dir)
-    return fused_pipeline(docs, policy="structured",
-                          concurrency=(4, 8)).map_batches(
+    fused = fused_pipeline(_read_corpus(sf_dir), policy="structured",
+                           concurrency=(4, 8)).map_batches(
         _spans_digest, batch_format="pyarrow"
     )
+    return _digest_parity(fused, _oracle_digests(sf_dir, "structured"))
 
 
 def q_structured_receipts(sf_dir: str):
@@ -391,11 +507,49 @@ def q_doc_fingerprint(sf_dir: str):
              .select_columns(["doc_id", "fingerprint"])
 
 
+def _recall_summary(exact_ds, approx_ds, bound: float) -> pa.Table:
+    """Driver-checkable ANN accuracy gate (VERDICT r2 #4, the
+    ``approx_users`` within-bound pattern): mean recall@k of the ANN
+    result against the in-pipeline exact ``knn_cosine``, emitted as one
+    boolean row the SQL oracle can assert as constant TRUE.  Both
+    result sets are k x n_queries rows — ``take_all`` is bounded.
+
+    The bound is on the 5-query MEAN (per-query recall is noisy at
+    test scales: measured LSH per-query 0.3-0.8, mean 0.48-0.58 across
+    sf0.001-0.1).  A regenerated corpus/seed may shift the mean; if
+    this gate trips after regeneration, re-measure before loosening."""
+    from collections import defaultdict
+
+    e: dict = defaultdict(set)
+    a: dict = defaultdict(set)
+    for r in exact_ds.take_all():
+        e[r["q_id"]].add(r["vec_id"])
+    for r in approx_ds.take_all():
+        a[r["q_id"]].add(r["vec_id"])
+    recalls = [len(e[q] & a[q]) / max(len(e[q]), 1) for q in sorted(e)]
+    mean = sum(recalls) / max(len(recalls), 1)
+    return pa.table(
+        {
+            "n_queries": pa.array([len(recalls)], type=pa.int64()),
+            "mean_recall_ok": pa.array([mean >= bound], type=pa.bool_()),
+        }
+    )
+
+
 def q_knn_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN, gated on mean recall@10 >= 0.35 vs the exact
+    kNN computed alongside (the exact pass exists only to make the gate
+    driver-checkable and doubles the query's cost by design, like
+    ``approx_users``; production use is ``similarity.lsh_ann`` alone)."""
     qm, qids = _query_matrix(sf_dir, [0, 1, 2, 3, 4])
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                 onb=8)
-    return similarity.lsh_ann(emb, qm, qids, dim=qm.shape[1], k=10)
+    approx = similarity.lsh_ann(emb, qm, qids, dim=qm.shape[1], k=10)
+    exact = similarity.knn_cosine(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], onb=8),
+        qm, qids, k=10,
+    )
+    return _recall_summary(exact, approx, bound=0.35)
 
 
 def q_distinct_lang_source(sf_dir: str):
@@ -713,6 +867,9 @@ def q_ngram_dedup(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF-flat ANN, gated on mean recall@10 >= 0.55 vs the exact kNN
+    computed alongside (see ``q_knn_lsh``; measured IVF mean recall
+    0.74-0.82 across sf0.001-0.1)."""
     qm, qids = _query_matrix(sf_dir, [0, 1, 2, 3, 4])
     # bounded sample read: only the first pages stream off storage, not
     # the whole table (round 1 read everything to keep 256 rows)
@@ -724,27 +881,33 @@ def q_knn_ivf(sf_dir: str):
     )
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                 onb=8)
-    return similarity.ivf_ann(emb, qm, qids, sample, k=10, nlist=8, nprobe=4)
+    approx = similarity.ivf_ann(emb, qm, qids, sample, k=10, nlist=8,
+                                nprobe=4)
+    exact = similarity.knn_cosine(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], onb=8),
+        qm, qids, k=10,
+    )
+    return _recall_summary(exact, approx, bound=0.55)
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthesize a media table from the corpus's
-    media refs, run the feature-extract actor pool (stubbed codec)."""
+    """Multimodal plumbing as a driver-checkable determinism gate
+    (VERDICT r2 #4): synthesize a media table, run the feature-extract
+    actor pool TWICE (stubbed codec — deterministic fake in-sandbox),
+    and assert both passes produce identical per-media feature digests.
+    What this verifies is the Ray-side plumbing: schema, batch sizing,
+    actor pool signature, output layout — decode itself is the
+    documented stub seam (``stages/media.py``)."""
     import ray.data as rd
 
     from .stages.media import media_feature_pipeline, synth_media_table
 
-    refs = [f"media://bench/{i}" for i in range(2000)]
-    media = rd.from_arrow(synth_media_table(refs))
-    feats = media_feature_pipeline(media, batch_size=64, concurrency=(1, 4))
-
     def digest(batch: pa.Table) -> pa.Table:
-        """Scalar digest of each vector so the driver's sorted-value
-        compare works (list columns don't sort in pandas)."""
+        """Scalar digest of each vector so values compare as scalars
+        (list columns don't sort in pandas)."""
         import hashlib as _h
 
         col = batch.column("feature").combine_chunks()
-        dim = [len(v) for v in col.to_pylist()]
         dig = [
             _h.sha256(np.asarray(v, dtype=np.float32).tobytes()).hexdigest()[:16]
             for v in col.to_pylist()
@@ -752,12 +915,25 @@ def q_media_features(sf_dir: str):
         return pa.table(
             {
                 "media_ref": batch.column("media_ref"),
-                "dim": pa.array(dim, type=pa.int32()),
-                "feature_digest": pa.array(dig, type=pa.string()),
+                "digest": pa.array(dig, type=pa.string()),
             }
         )
 
-    return feats.map_batches(digest, batch_format="pyarrow")
+    def one_pass():
+        refs = [f"media://bench/{i}" for i in range(2000)]
+        media = rd.from_arrow(synth_media_table(refs))
+        feats = media_feature_pipeline(media, batch_size=64,
+                                       concurrency=(1, 4))
+        return feats.map_batches(digest, batch_format="pyarrow")
+
+    parity = _digest_parity(one_pass(), one_pass(), key="media_ref")
+    return pa.table(
+        {
+            "n_media": pa.array([2000], type=pa.int64()),
+            "deterministic_ok": pa.array([len(parity) == 0],
+                                         type=pa.bool_()),
+        }
+    )
 
 
 # --- registry ---------------------------------------------------------------
@@ -799,6 +975,7 @@ def queries() -> dict:
         # the dedup/lang/fingerprint/approx ones gained oracles in r2
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
+        "extract_parity": q_extract_parity,
         "extract_multi": q_extract_multi,
         "extract_structured": q_extract_structured,
         "structured_receipts": q_structured_receipts,
@@ -1264,6 +1441,47 @@ def _base_oracles() -> dict:
         "approx_users": """
             SELECT event_type, CAST(TRUE AS BOOLEAN) AS within_5pct
             FROM events GROUP BY event_type
+        """,
+        # ANN accuracy gates (VERDICT r2 #4): the Ray side computes mean
+        # recall@10 vs the exact kNN run alongside and emits the
+        # boolean; the oracle asserts it is TRUE.  Bounds (LSH 0.35,
+        # IVF 0.55) sit well under the measured means (0.48-0.58 /
+        # 0.74-0.82 across sf0.001-0.1); a regenerated corpus may shift
+        # them — re-measure before loosening (ADVICE r2 convention).
+        "knn_lsh": """
+            SELECT CAST(5 AS BIGINT) AS n_queries,
+                   CAST(TRUE AS BOOLEAN) AS mean_recall_ok
+        """,
+        "knn_ivf": """
+            SELECT CAST(5 AS BIGINT) AS n_queries,
+                   CAST(TRUE AS BOOLEAN) AS mean_recall_ok
+        """,
+        # plan parity is defined by ZERO mismatching docs, so the oracle
+        # is the empty table with the same schema; extract_multi and
+        # extract_structured are the same gate against the independent
+        # sequential oracle (policy variants)
+        "extract_parity": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS reason
+            WHERE FALSE
+        """,
+        "extract_multi": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS reason
+            WHERE FALSE
+        """,
+        "extract_structured": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS reason
+            WHERE FALSE
+        """,
+        # media plumbing determinism gate: the query runs the feature
+        # pipeline twice and digest-compares (decode is the documented
+        # deterministic fake in-sandbox; schema/batching/actor plumbing
+        # is what this verifies)
+        "media_features": """
+            SELECT CAST(2000 AS BIGINT) AS n_media,
+                   CAST(TRUE AS BOOLEAN) AS deterministic_ok
         """,
     }
 
