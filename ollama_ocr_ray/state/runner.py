@@ -90,6 +90,186 @@ def _run_partition(
     return record
 
 
+def _prep_partition(
+    pid: int,
+    input_file: str,
+    manifest: Manifest,
+    fingerprint: str,
+    *,
+    quality_threshold: float,
+) -> dict:
+    """Annotate+gate ONE input file and commit it atomically.
+
+    This is the expensive, text-reading phase of prep (fingerprint +
+    lang-ID kernels over every byte of text), so it is the resumable
+    unit; the later global dedup pass reads only the 5 scalar output
+    columns."""
+    import ray.data as rd
+
+    from ..functions.prep import PrepAnnotate
+
+    ds = rd.read_parquet([input_file], columns=["doc_id", "text"])
+    ann = ds.map_batches(
+        PrepAnnotate(quality_threshold), batch_format="pyarrow"
+    )
+    part_dir = manifest.part_dir(pid)
+    tmp_dir = os.path.join(manifest.output_dir, f"_tmp-part-{pid:05d}")
+    for stale in (tmp_dir, part_dir):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)  # uncommitted leftovers from a killed run
+    ann.write_parquet(tmp_dir)
+    os.replace(tmp_dir, part_dir)
+    import pyarrow.dataset as pads
+
+    kept = pads.dataset(part_dir).count_rows()
+    record = {
+        "input_file": os.path.abspath(input_file),
+        "input_fingerprint": fingerprint,
+        "quality_threshold": quality_threshold,
+        "docs_kept": kept,
+    }
+    manifest.commit(pid, record)
+    return record
+
+
+def run_prep(
+    input_path: str,
+    output_dir: str,
+    *,
+    quality_threshold: float = 0.01,
+    wave: int = 4,
+    max_partitions: int | None = None,
+    shuffle_seed: int | None = None,
+    partition_by: str | None = None,
+) -> dict:
+    """Run (or resume) the corpus-prep export over ``input_path``.
+
+    Two phases (VERDICT r2 #6 — the reference reruns everything on a
+    crash, ``ollama_cloud_ocr.py:889``; a 100-TB export must not):
+
+    1. **Annotate** (resumable, partition = input file): quality gate +
+       lang-ID + content fingerprint per document, text dropped at the
+       stage boundary.  Each partition commits atomically
+       (tmp → rename → manifest record) under ``output_dir/annotated``;
+       a rerun fingerprint-matches and redoes only missing partitions.
+    2. **Finalize** (global, cheap): exact-dedup keep-min-doc_id over
+       the committed annotated rows — ONE sort over 5 scalar columns,
+       no text — then the optional seeded shuffle, written atomically
+       to ``output_dir/data``.  The finalize record is keyed on the
+       sorted set of annotated-partition fingerprints plus the export
+       config, so adding/changing any input partition re-runs only this
+       pass (over annotations, never over raw text).
+
+    A kill anywhere leaves either nothing or a committed unit; resume
+    cost is bounded by one partition plus the finalize pass.
+    ``max_partitions`` bounds phase-1 work (the kill-simulation hook);
+    when partitions remain pending the summary reports
+    ``status="partial"`` and finalize is skipped.
+    """
+    import hashlib
+    import json
+
+    files = list_input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no input data files under {input_path}")
+    ann_dir = os.path.join(output_dir, "annotated")
+    os.makedirs(ann_dir, exist_ok=True)
+    manifest = Manifest(ann_dir)
+    # the quality threshold participates in the partition fingerprint:
+    # re-running with a different gate must redo the annotate pass
+    fps = {
+        pid: f"{partition_fingerprint(f)}:q={quality_threshold!r}"
+        for pid, f in enumerate(files)
+    }
+    pending = [
+        (pid, f) for pid, f in enumerate(files)
+        if not manifest.is_done(pid, fps[pid])
+    ]
+    skipped = len(files) - len(pending)
+    if max_partitions is not None:
+        pending = pending[:max_partitions]
+    if pending:
+        with ThreadPoolExecutor(max_workers=max(1, wave)) as pool:
+            futs = [
+                pool.submit(
+                    _prep_partition, pid, f, manifest, fps[pid],
+                    quality_threshold=quality_threshold,
+                )
+                for pid, f in pending
+            ]
+            for fut in futs:
+                fut.result()
+    summary = {
+        "job": "prep",
+        "partitions_total": len(files),
+        "partitions_skipped": skipped,
+        "partitions_run": len(pending),
+        "output": output_dir,
+        "data_dir": os.path.join(output_dir, "data"),
+    }
+    if any(not manifest.is_done(pid, fps[pid]) for pid in fps):
+        return {**summary, "status": "partial", "rows_kept": None}
+
+    # --- finalize: global dedup over the committed annotations -------
+    finalize_key = hashlib.sha256(
+        json.dumps(
+            [fps[pid] for pid in sorted(fps)]
+            + [repr(shuffle_seed), repr(partition_by)]
+        ).encode()
+    ).hexdigest()[:16]
+    final_rec_path = os.path.join(output_dir, "final.json")
+    data_dir = summary["data_dir"]
+    try:
+        with open(final_rec_path) as f:
+            final_rec = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        final_rec = None
+    if (
+        final_rec is not None
+        and final_rec.get("finalize_key") == finalize_key
+        and os.path.isdir(data_dir)
+    ):
+        return {**summary, "status": "done",
+                "rows_kept": final_rec["rows_kept"], "finalized": False}
+
+    import ray.data as rd
+
+    from ..functions.prep import _keep_first_block
+
+    part_files = [
+        os.path.join(d, f)
+        for d in (manifest.part_dir(pid) for pid in sorted(fps))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    ann = rd.read_parquet(part_files)
+    out = ann.sort("fingerprint").map_batches(
+        _keep_first_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if shuffle_seed is not None:
+        out = out.random_shuffle(seed=shuffle_seed)
+    tmp_data = os.path.join(output_dir, "_tmp-data")
+    for stale in (tmp_data, data_dir):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    wkw = {}
+    if partition_by:
+        wkw["partition_cols"] = [partition_by]
+    out.write_parquet(tmp_data, **wkw)
+    os.replace(tmp_data, data_dir)
+    import pyarrow.dataset as pads
+
+    rows_kept = pads.dataset(data_dir, partitioning="hive").count_rows()
+    tmp_rec = final_rec_path + ".tmp"
+    with open(tmp_rec, "w") as f:
+        json.dump({"finalize_key": finalize_key, "rows_kept": rows_kept,
+                   "status": "done"}, f, indent=1)
+    os.replace(tmp_rec, final_rec_path)
+    return {**summary, "status": "done", "rows_kept": rows_kept,
+            "finalized": True}
+
+
 def run_extract(
     input_path: str,
     output_dir: str,

@@ -103,12 +103,84 @@ def test_cli_prep_job(ray_session, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     direct = prep_corpus(rd.read_parquet(src)).count()
     assert summary["rows_kept"] == direct > 0
-    assert rd.read_parquet(out).count() == direct
-    # re-running into the non-empty dir must fail fast (a silent
-    # write_parquet would MERGE with the first run's files)...
-    with pytest.raises(SystemExit, match="non-empty"):
-        main(["--input", src, "--output", out, "--job", "prep"])
-    # ...and --overwrite replaces rather than merges
-    assert main(["--input", src, "--output", out, "--job", "prep",
+    assert summary["status"] == "done"
+    assert rd.read_parquet(summary["data_dir"]).count() == direct
+    # re-running is a RESUME: nothing reruns, same rows, no data rewrite
+    assert main(["--input", src, "--output", out, "--job", "prep"]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["partitions_run"] == 0 and s2["rows_kept"] == direct
+    assert s2["finalized"] is False
+    # a non-empty output WITHOUT a prep manifest is foreign: fail fast...
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "stale.parquet").write_bytes(b"x")
+    with pytest.raises(SystemExit, match="no prep manifest"):
+        main(["--input", src, "--output", str(foreign), "--job", "prep"])
+    # ...and --overwrite replaces it
+    assert main(["--input", src, "--output", str(foreign), "--job", "prep",
                  "--overwrite"]) == 0
-    assert rd.read_parquet(out).count() == direct
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s3["rows_kept"] == direct
+
+
+@pytest.fixture(scope="module")
+def docs_shards(tmp_path_factory):
+    """The sf0.001 documents table resharded into 4 files (prep's
+    resumable partition unit is the input file)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    root = tmp_path_factory.mktemp("docs_shards")
+    n = t.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step),
+                       str(root / f"docs-{i:02d}.parquet"))
+    return str(root)
+
+
+def test_prep_partial_run_then_resume(ray_session, docs_shards, tmp_path):
+    """Kill prep after 2 of 4 annotate partitions → resume finishes the
+    rest + the global dedup finalize; done partitions untouched; output
+    equals the one-shot library pipeline (VERDICT r2 #6)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.prep import prep_corpus
+    from ollama_ocr_ray.state.runner import run_prep
+
+    out = str(tmp_path / "prep")
+    s1 = run_prep(docs_shards, out, max_partitions=2, wave=2)
+    assert s1["status"] == "partial" and s1["partitions_run"] == 2
+    assert s1["rows_kept"] is None
+    assert not os.path.isdir(s1["data_dir"]), "finalize must not run partial"
+    m = Manifest(os.path.join(out, "annotated"))
+    assert len(m.records()) == 2
+    mtimes = {pid: os.stat(m.part_dir(pid)).st_mtime_ns for pid in (0, 1)}
+
+    s2 = run_prep(docs_shards, out, wave=2)
+    assert s2["status"] == "done" and s2["partitions_skipped"] == 2
+    assert s2["partitions_run"] == 2 and s2["finalized"] is True
+    for pid, mt in mtimes.items():
+        assert os.stat(m.part_dir(pid)).st_mtime_ns == mt, \
+            "done partition rewritten"
+
+    def rows(ds):
+        return sorted(
+            (r["doc_id"], r["pred_lang"], r["n_chars"], r["fingerprint"])
+            for r in ds.take_all()
+        )
+
+    direct = prep_corpus(rd.read_parquet(docs_shards))
+    assert rows(rd.read_parquet(s2["data_dir"])) == rows(direct)
+
+    # idempotent third run: no annotate, no finalize
+    data_mtime = os.stat(s2["data_dir"]).st_mtime_ns
+    s3 = run_prep(docs_shards, out)
+    assert s3["partitions_run"] == 0 and s3["finalized"] is False
+    assert s3["rows_kept"] == s2["rows_kept"]
+    assert os.stat(s3["data_dir"]).st_mtime_ns == data_mtime
+
+    # changing the gate invalidates the annotate partitions too
+    s4 = run_prep(docs_shards, out, quality_threshold=0.02)
+    assert s4["partitions_run"] == s4["partitions_total"]
