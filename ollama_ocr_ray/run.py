@@ -46,6 +46,12 @@ def main(argv=None) -> int:
                     help="simulated per-media-span inference cost (hash iters)")
     ap.add_argument("--ocr-latency-ms", type=float, default=0.0,
                     help="simulated per-media-span inference latency")
+    ap.add_argument("--model", default=None,
+                    help="OCR engine adapter: tesseract[:lang], "
+                         "trocr[:model-id], ollama[:model-name], demo, "
+                         "or a dotted module:attr path; default = the "
+                         "deterministic mock policy contract "
+                         "(stages/engines.py)")
     ap.add_argument("--ocr-batch-size", type=int, default=512)
     ap.add_argument("--ocr-concurrency", type=int, default=8)
     ap.add_argument("--wave", type=int, default=4,
@@ -106,6 +112,7 @@ def main(argv=None) -> int:
             )
             print(json.dumps(summary))
             return 0
+        from .stages.engines import resolve_model
         from .state.runner import run_extract
 
         summary = run_extract(
@@ -113,6 +120,7 @@ def main(argv=None) -> int:
             args.output,
             plan=args.plan,
             policy=args.policy,
+            model=resolve_model(args.model),
             ocr_burn=args.ocr_burn,
             ocr_latency_ms=args.ocr_latency_ms,
             ocr_batch_size=args.ocr_batch_size,

@@ -1,0 +1,278 @@
+"""Real-engine adapters for the ``OcrModel(model=...)`` seam.
+
+The seam contract (``stages/ocr.py:158-176``): a picklable callable
+``payloads -> one transcript string per payload`` where a payload is
+the media bytes when a sidecar store resolves the ref, else the ref
+string.  These classes wrap the three engines the reference actually
+dispatches between (``/root/reference/ocr_router.py:177-217``):
+
+- ``TesseractModel`` — the printed-text path
+  (``ocr_router.py:76-86``: ``pytesseract.image_to_string``);
+- ``TrOCRModel`` — the handwriting path
+  (``ocr_router.py:31-46``: HF processor + VisionEncoderDecoderModel),
+  the one engine with a REAL batch axis (one generate() per payload
+  batch, not per image);
+- ``OllamaModel`` — the local/cloud LLM path
+  (``ollama_local_ocr.py:235``: ``ollama.chat`` with an image +
+  prompt; ``ollama_cloud_ocr.py:61-94`` is the same call against the
+  hosted API).
+
+Adapter design rules (what makes these 100-TB-safe):
+
+1. **Pickle cheap, load lazy.** The instance that ships to each actor
+   holds ONLY config strings; weights/clients load on first
+   ``__call__`` inside the actor process (``_ensure_loaded``), once
+   per actor — exactly the ``__init__``-loads-the-model discipline of
+   ``OcrModel``, kept even though injection happens via a ctor kwarg.
+2. **Import-guarded.** None of cv2/PIL/pytesseract/transformers/ollama
+   exist in this sandbox; a missing dependency raises a clear
+   ``ImportError`` naming the package AT LOAD TIME in the actor, and
+   the unit tests assert that failure mode instead of skipping
+   silently.
+3. **Batched signature.** Even engines with no native batch API
+   (tesseract, ollama) take the whole payload list so per-call setup
+   (config strings, client session) amortizes, and TrOCR gets its true
+   batched generate.
+
+``resolve_model`` maps a CLI string (``--model tesseract``,
+``--model trocr:microsoft/trocr-base-printed``, ``--model demo``, or a
+dotted ``module:attr`` path) to an adapter instance, making engine
+choice pure config — the reference's ``--engine`` flag
+(``ocr_router.py:316-330``) re-expressed for a distributed run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _decode_image(payload):
+    """payload bytes -> PIL image (RGB).  Non-bytes payloads (the
+    ref-keyed mock contract, no sidecar store) are rejected: a real
+    engine needs pixels, so the job must configure a media store."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise ImportError(
+            "pillow is required to decode media payloads for a real "
+            "OCR engine (pip install pillow)"
+        ) from e
+    if not isinstance(payload, (bytes, bytearray)):
+        raise TypeError(
+            "real OCR engines need media BYTES; configure a media_store "
+            f"so refs resolve to payloads (got {type(payload).__name__})"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload)).convert("RGB")
+
+
+class TesseractModel:
+    """Printed-text OCR via pytesseract (``ocr_router.py:76-86``).
+
+    Tesseract has no batch API; the loop is per payload but the psm
+    config string and the import happen once per actor."""
+
+    def __init__(self, lang: str = "eng", config: str = "--psm 6"):
+        self.lang = lang
+        self.config = config
+        self._tess = None
+
+    def _ensure_loaded(self):
+        if self._tess is None:
+            try:
+                import pytesseract
+            except ImportError as e:
+                raise ImportError(
+                    "TesseractModel requires pytesseract (pip install "
+                    "pytesseract + a tesseract binary)"
+                ) from e
+            self._tess = pytesseract
+        return self._tess
+
+    def __call__(self, payloads: list) -> list[str]:
+        tess = self._ensure_loaded()
+        return [
+            tess.image_to_string(
+                _decode_image(p), lang=self.lang, config=self.config
+            ).strip()
+            for p in payloads
+        ]
+
+
+class TrOCRModel:
+    """Handwriting OCR via HF TrOCR (``ocr_router.py:31-46``), with the
+    batch axis the reference's per-image loop leaves on the table: ONE
+    ``generate()`` per payload batch."""
+
+    def __init__(self, model_name: str = "microsoft/trocr-base-handwritten",
+                 device: str | None = None, max_new_tokens: int = 128):
+        self.model_name = model_name
+        self.device = device
+        self.max_new_tokens = max_new_tokens
+        self._bundle = None
+
+    def _ensure_loaded(self):
+        if self._bundle is None:
+            try:
+                import torch
+                from transformers import (TrOCRProcessor,
+                                          VisionEncoderDecoderModel)
+            except ImportError as e:
+                raise ImportError(
+                    "TrOCRModel requires torch + transformers "
+                    "(pip install torch transformers)"
+                ) from e
+            device = self.device or (
+                "cuda" if torch.cuda.is_available() else "cpu"
+            )
+            processor = TrOCRProcessor.from_pretrained(self.model_name)
+            model = VisionEncoderDecoderModel.from_pretrained(
+                self.model_name
+            ).to(device).eval()
+            self._bundle = (torch, processor, model, device)
+        return self._bundle
+
+    def __call__(self, payloads: list) -> list[str]:
+        torch, processor, model, device = self._ensure_loaded()
+        if not payloads:
+            return []
+        images = [_decode_image(p) for p in payloads]
+        with torch.no_grad():
+            pixel_values = processor(
+                images=images, return_tensors="pt"
+            ).pixel_values.to(device)
+            ids = model.generate(pixel_values,
+                                 max_new_tokens=self.max_new_tokens)
+        return [t.strip() for t in
+                processor.batch_decode(ids, skip_special_tokens=True)]
+
+
+class OllamaModel:
+    """Vision-LLM OCR via the ollama client (``ollama_local_ocr.py:235``
+    local daemon; ``ollama_cloud_ocr.py:61-94`` is the same chat call
+    against the hosted API with a bearer key).
+
+    The call is per image (the API has no batch endpoint) but the
+    client/session constructs once per actor, and ``OcrModel`` already
+    amortizes its latency over the batch (one pool-wide backpressure
+    unit instead of the reference's sequential 30-60 s/image loop)."""
+
+    PROMPT = ("Extract all text from this image. Return only the "
+              "transcribed text, no commentary.")
+
+    def __init__(self, model_name: str = "llama3.2-vision",
+                 host: str | None = None, prompt: str | None = None):
+        self.model_name = model_name
+        self.host = host
+        self.prompt = prompt or self.PROMPT
+        self._client = None
+
+    def _ensure_loaded(self):
+        if self._client is None:
+            try:
+                import ollama
+            except ImportError as e:
+                raise ImportError(
+                    "OllamaModel requires the ollama package "
+                    "(pip install ollama + a reachable daemon/API)"
+                ) from e
+            self._client = (ollama.Client(host=self.host) if self.host
+                            else ollama.Client())
+        return self._client
+
+    def __call__(self, payloads: list) -> list[str]:
+        client = self._ensure_loaded()
+        out = []
+        for p in payloads:
+            if not isinstance(p, (bytes, bytearray)):
+                raise TypeError(
+                    "OllamaModel needs media BYTES; configure a "
+                    "media_store so refs resolve to payloads"
+                )
+            resp = client.chat(
+                model=self.model_name,
+                messages=[{
+                    "role": "user",
+                    "content": self.prompt,
+                    "images": [bytes(p)],
+                }],
+            )
+            out.append(resp["message"]["content"].strip())
+        return out
+
+
+class DemoHashModel:
+    """Deterministic fake "heavy" engine for end-to-end seam testing
+    where no real engine exists (this sandbox): simulates a weight load
+    on first call (lazy, once per actor — observable via the
+    ``loads``/``calls`` counters in its transcripts' provenance) and
+    transcribes each payload to a stable digest string.
+
+    NOT an OCR engine — it exists so ``--model demo`` exercises the
+    exact injection path (CLI flag -> resolve_model -> actor ctor ->
+    batched ``infer_texts``) a real adapter rides."""
+
+    def __init__(self, tag: str = "DEMO"):
+        self.tag = tag
+        self._loaded = False
+        self.loads = 0
+        self.calls = 0
+
+    def _ensure_loaded(self):
+        if not self._loaded:
+            self._loaded = True
+            self.loads += 1
+
+    @staticmethod
+    def transcribe(payload, tag: str = "DEMO") -> str:
+        data = (payload if isinstance(payload, (bytes, bytearray))
+                else str(payload).encode())
+        return f"{tag}::" + hashlib.sha256(data).hexdigest()[:16]
+
+    def __call__(self, payloads: list) -> list[str]:
+        self._ensure_loaded()
+        self.calls += 1
+        return [self.transcribe(p, self.tag) for p in payloads]
+
+
+_NAMED = {
+    "tesseract": TesseractModel,
+    "trocr": TrOCRModel,
+    "ollama": OllamaModel,
+    "demo": DemoHashModel,
+}
+
+
+def resolve_model(spec: str | None):
+    """CLI model spec -> adapter instance (or None for the mock policy
+    contract).
+
+    Forms: ``tesseract`` / ``tesseract:deu`` (arg = lang),
+    ``trocr`` / ``trocr:microsoft/trocr-base-printed`` (arg = model id),
+    ``ollama`` / ``ollama:llava`` (arg = model name), ``demo``, or a
+    dotted ``package.module:attr`` path whose attr is an adapter class
+    (instantiated with no args) or a ready callable.
+
+    Resolution never imports engine packages — construction is cheap by
+    rule 1 and missing dependencies surface at first inference in the
+    actor, where the error names the package."""
+    if spec is None or spec == "" or spec == "mock":
+        return None
+    name, _, arg = spec.partition(":")
+    cls = _NAMED.get(name)
+    if cls is not None:
+        return cls(arg) if arg else cls()
+    if ":" not in spec:
+        raise ValueError(
+            f"unknown model spec {spec!r}: expected one of "
+            f"{sorted(_NAMED)} or a dotted 'module:attr' path"
+        )
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    try:
+        obj = getattr(importlib.import_module(mod_name), attr)
+    except (ImportError, AttributeError) as e:
+        raise ValueError(f"cannot resolve model spec {spec!r}: {e}") from e
+    return obj() if isinstance(obj, type) else obj

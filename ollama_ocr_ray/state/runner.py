@@ -56,12 +56,14 @@ def _run_partition(
     ocr_batch_size: int,
     ocr_concurrency,
     policy,
+    model=None,
 ) -> dict:
     ds = read_documents_files([input_file])
     if plan == "fused":
         out = fused_pipeline(
             ds, ocr_burn=ocr_burn, ocr_latency_ms=ocr_latency_ms,
-            concurrency=ocr_concurrency, policy=policy, with_stats=True
+            concurrency=ocr_concurrency, policy=policy, with_stats=True,
+            model=model,
         )
     else:
         out = extract_pipeline(
@@ -72,6 +74,7 @@ def _run_partition(
             ocr_concurrency=ocr_concurrency,
             policy=policy,
             with_stats=True,
+            model=model,
         )
     part_dir = manifest.part_dir(pid)
     tmp_dir = os.path.join(manifest.output_dir, f"_tmp-part-{pid:05d}")
@@ -280,6 +283,7 @@ def run_extract(
     ocr_batch_size: int = 512,
     ocr_concurrency=(1, 8),
     policy="text",
+    model=None,
     wave: int = 4,
     max_partitions: int | None = None,
 ) -> dict:
@@ -316,6 +320,7 @@ def run_extract(
         ocr_batch_size=ocr_batch_size,
         ocr_concurrency=ocr_concurrency,
         policy=policy,
+        model=model,
     )
     done = []
     if pending:
