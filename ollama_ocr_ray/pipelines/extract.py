@@ -111,6 +111,8 @@ def extract_pipeline(
     with_stats: bool = False,
     reassembly_partitions: int | None = None,
     model=None,
+    metrics_sink=None,
+    metrics_tag=None,
 ):
     """documents Dataset → extracted Dataset (EXTRACTED_SCHEMA [+stats]).
 
@@ -143,6 +145,8 @@ def extract_pipeline(
         "policy": policy,
         "media_store": media_store,
         "model": model,
+        "metrics_sink": metrics_sink,
+        "metrics_tag": metrics_tag,
     }
     if fuse_stages:
         spans = docs.map_batches(
@@ -212,10 +216,12 @@ class FusedExtractor:
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
                  policy: str = "text", offset_range=None, media_store=None,
-                 with_stats: bool = False, model=None):
+                 with_stats: bool = False, model=None,
+                 metrics_sink=None, metrics_tag=None):
         self._ocr = OcrModel(burn_iters=burn_iters, latency_ms=latency_ms,
                              policy=policy, media_store=media_store,
-                             model=model)
+                             model=model, metrics_sink=metrics_sink,
+                             metrics_tag=metrics_tag)
         self.policy = policy
         self.offset_range = offset_range
         self.with_stats = with_stats
@@ -266,6 +272,7 @@ class FusedExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
 
+        t_call = time.perf_counter()
         rows = batch.to_pylist()
         out = []
         media_counts = []
@@ -294,6 +301,7 @@ class FusedExtractor:
             slept_ms = (time.perf_counter() - t_sleep) * 1e3
             for row, n_media in zip(out, media_counts):
                 row["ocr_ms"] += slept_ms * n_media / batch_media
+        self._ocr._record(len(rows), batch_media, t_call)
         schema = REASSEMBLED_SCHEMA if self.with_stats else EXTRACTED_SCHEMA
         return pa.Table.from_pylist(out, schema=schema)
 
@@ -301,7 +309,8 @@ class FusedExtractor:
 def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
                    batch_size: int | None = None, concurrency=None,
                    num_cpus=None, policy: str = "text", offset_range=None,
-                   media_store=None, with_stats: bool = False, model=None):
+                   media_store=None, with_stats: bool = False, model=None,
+                   metrics_sink=None, metrics_tag=None):
     """documents Dataset → extracted Dataset, zero-shuffle plan."""
     auto_conc, auto_cpus, auto_bs = _pool_sizing(ocr_burn, ocr_latency_ms)
     if concurrency is None:
@@ -325,6 +334,8 @@ def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
             "media_store": media_store,
             "with_stats": with_stats,
             "model": model,
+            "metrics_sink": metrics_sink,
+            "metrics_tag": metrics_tag,
         },
     )
 

@@ -44,7 +44,8 @@ class OcrModel:
 
     def __init__(self, burn_iters: int = 0, latency_ms: float = 0.0,
                  policy: str = "text", media_store=None,
-                 stamp_batches: bool = False, model=None):
+                 stamp_batches: bool = False, model=None,
+                 metrics_sink=None, metrics_tag=None):
         # "load the model": in the real engine this is where weights land
         # on the device; here we pre-touch the transcription vocab and
         # keep the cost knobs.  ``policy`` is the mode dispatch of the
@@ -82,6 +83,20 @@ class OcrModel:
         self.stamp_batches = stamp_batches  # test hook: tag rows with call id
         self._calls = 0
         self._warm = mock_transcript("media://warmup/0")
+        # per-actor resource sampling (reference's per-call GPU/resource
+        # probe, ``ollama_local_ocr.py:205-262``): one sample per batch,
+        # fire-and-forget to the job-wide MetricsSink; a single ``if``
+        # when no sink is configured
+        from ..state.metrics import ResourceRecorder
+
+        self.recorder = ResourceRecorder(metrics_sink, metrics_tag)
+
+    def _record(self, n_rows: int, n_media: int, t0: float) -> None:
+        if self.recorder.sink is not None:
+            self.recorder.record(
+                n_rows=n_rows, n_media=n_media,
+                wall_ms=(time.perf_counter() - t0) * 1e3,
+            )
 
     def resolve_media(self, ref: str) -> bytes | None:
         """media_ref → payload bytes via the broadcast sidecar store;
@@ -176,11 +191,13 @@ class OcrModel:
         return [mode_transcript(k, self.policy) for k in keys]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        t_call = time.perf_counter()
         batch = batch.combine_chunks()
         kind = np.asarray(batch.column("kind"))
         is_media = kind == "media"
         n = len(batch)
         if not is_media.any():
+            self._record(n, 0, t_call)
             return self._stamp(
                 batch.append_column("ocr_ms", pa.array(np.zeros(n), type=pa.float64()))
             )
@@ -213,6 +230,7 @@ class OcrModel:
             per_row = elapsed_ms / len(media_idx)
             ocr_ms = np.zeros(n)
             ocr_ms[media_idx] = per_row
+            self._record(n, len(media_idx), t_call)
             return self._stamp(
                 pa.table(
                     {
@@ -263,6 +281,7 @@ class OcrModel:
         per_row = elapsed_ms / max(1, len(media_out_rows))
         for r in media_out_rows:
             o_ms[r] = per_row
+        self._record(n, len(media_idx), t_call)
         return self._stamp(
             pa.table(
                 {

@@ -57,13 +57,14 @@ def _run_partition(
     ocr_concurrency,
     policy,
     model=None,
+    metrics_sink=None,
 ) -> dict:
     ds = read_documents_files([input_file])
     if plan == "fused":
         out = fused_pipeline(
             ds, ocr_burn=ocr_burn, ocr_latency_ms=ocr_latency_ms,
             concurrency=ocr_concurrency, policy=policy, with_stats=True,
-            model=model,
+            model=model, metrics_sink=metrics_sink, metrics_tag=pid,
         )
     else:
         out = extract_pipeline(
@@ -75,6 +76,8 @@ def _run_partition(
             policy=policy,
             with_stats=True,
             model=model,
+            metrics_sink=metrics_sink,
+            metrics_tag=pid,
         )
     part_dir = manifest.part_dir(pid)
     tmp_dir = os.path.join(manifest.output_dir, f"_tmp-part-{pid:05d}")
@@ -89,6 +92,17 @@ def _run_partition(
         "plan": plan,
         **_partition_metrics(part_dir),
     }
+    if metrics_sink is not None:
+        # drain THIS partition's actor resource samples (the write +
+        # metrics read above give in-flight fire-and-forget pushes time
+        # to land; a straggler sample is dropped, never misattributed)
+        import ray
+
+        from .metrics import aggregate_samples
+
+        record["resources"] = aggregate_samples(
+            ray.get(metrics_sink.drain.remote(pid))
+        )
     manifest.commit(pid, record)
     return record
 
@@ -313,6 +327,11 @@ def run_extract(
         probe = read_documents_files([files[0]])
         plan = choose_plan(probe, ocr_burn=ocr_burn,
                            ocr_latency_ms=ocr_latency_ms)
+    # one zero-CPU metrics sink per job: every OCR actor pushes one
+    # resource sample per batch, drained per partition at commit
+    from .metrics import make_sink
+
+    metrics_sink = make_sink() if pending else None
     kwargs = dict(
         plan=plan,
         ocr_burn=ocr_burn,
@@ -321,6 +340,7 @@ def run_extract(
         ocr_concurrency=ocr_concurrency,
         policy=policy,
         model=model,
+        metrics_sink=metrics_sink,
     )
     done = []
     if pending:
