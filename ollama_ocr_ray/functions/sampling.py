@@ -1,0 +1,140 @@
+"""Seeded stratified sampling — training-mix construction.
+
+A pretraining data pipeline rarely trains on everything it crawls: it
+draws a REPRODUCIBLE per-stratum sample (k documents per language /
+source / quality bucket) to build the mix.  ``sample_stratified`` is
+that operator: keep the k documents with the smallest seeded hash per
+stratum — a deterministic uniform sample that is stable across runs,
+cluster sizes and input orderings, and cheap to re-draw with a new
+seed.
+
+Scale plan (the reason this beats ``groupby().map_groups`` or a global
+``sort(stratum, key)``):
+
+1. **Partial top-k per input block** (``map_batches`` task): hash every
+   row (exact mod-2^61-1 affine + square mix, vectorized on uint64 —
+   the same ``_mulmod61`` kernel the fingerprints use) and keep only
+   the k smallest per stratum IN the block.  Nothing else leaves the
+   read stage: the exchange carries at most ``k x strata x blocks``
+   rows of 3 scalar columns, independent of corpus size.
+2. **Tree-reduce the candidates** — coalesce candidate blocks and
+   re-apply the same keep-k kernel, then a single-block final pass
+   ranks the winners.  NOT a sort exchange: a distributed sort on a
+   low-cardinality stratum key (5 languages over hundreds of blocks)
+   WOULD split equal keys across range partitions, so the sorted-block
+   segment trick the other operators use is unsafe here; the candidate
+   set is small by construction, so fan-in reduction is both safe and
+   cheaper.  Intermediate fan-in keeps the biggest reduce task at
+   ``k x strata x (blocks / fan_in)`` rows.
+
+The hash chain is SQL-expressible in exact HUGEINT arithmetic, so the
+operator is driver-oracle checkable end to end (same convention as
+``rolling_fingerprint``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .text import _FP_MOD, _addmod61, _mulmod61
+
+# fixed odd multiplier < 2^61-1; any constant works, but it is part of
+# the cross-language contract (the SQL oracle hardcodes the same value)
+SAMPLE_MULT = 1_234_567_890_123_456_789
+
+
+def sample_keys(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Exact ((x+1)*A + seed) mod M, then a square mix (h*h + h) mod M —
+    non-linear so sequential doc_ids don't sample as an arithmetic
+    progression.  uint64 in, uint64 (< 2^61) out."""
+    x = np.asarray(doc_ids, dtype=np.uint64) + np.uint64(1)
+    h1 = _addmod61(_mulmod61(x, np.uint64(SAMPLE_MULT)),
+                   np.uint64(seed % _FP_MOD))
+    return _addmod61(_mulmod61(h1, h1), h1)
+
+
+def _keep_k_block(batch: pa.Table, *, stratum_col: str, k: int,
+                  with_rank: bool) -> pa.Table:
+    """(stratum, doc_id, sample_key) rows → the k smallest keys per
+    stratum present in THIS block, vectorized: one lexsort + segment
+    position mask, no per-group Python."""
+    fields = [(stratum_col, pa.string()), ("doc_id", pa.int64()),
+              ("sample_key", pa.int64())]
+    if with_rank:
+        fields.append(("rn", pa.int64()))
+    schema = pa.schema(fields)
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return schema.empty_table()
+    batch = batch.combine_chunks()
+    strat = np.asarray(batch.column(stratum_col).to_pylist(), dtype=object)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    key = batch.column("sample_key").to_numpy(zero_copy_only=False)
+    # lexsort: last key is primary → (stratum, key, doc_id)
+    order = np.lexsort((ids, key, strat))
+    strat, ids, key = strat[order], ids[order], key[order]
+    n = len(strat)
+    seg_start = np.empty(n, dtype=bool)
+    seg_start[0] = True
+    seg_start[1:] = strat[1:] != strat[:-1]
+    # position within the stratum segment, vectorized
+    start_idx = np.maximum.accumulate(
+        np.where(seg_start, np.arange(n), -1)
+    )
+    pos = np.arange(n) - start_idx
+    keep = pos < k
+    cols = {
+        stratum_col: pa.array(list(strat[keep]), type=pa.string()),
+        "doc_id": pa.array(ids[keep], type=pa.int64()),
+        "sample_key": pa.array(key[keep].astype(np.int64),
+                               type=pa.int64()),
+    }
+    if with_rank:
+        cols["rn"] = pa.array(pos[keep] + 1, type=pa.int64())
+    return pa.table(cols).cast(schema)
+
+
+def sample_stratified(docs, *, stratum_col: str = "lang", k: int = 20,
+                      seed: int = 0, fan_in: int = 64):
+    """documents Dataset → (stratum, doc_id, sample_key, rn): the k
+    smallest-hash documents per stratum, rn = 1..k ordered by
+    (sample_key, doc_id).  Deterministic for a (corpus, seed) pair,
+    independent of block layout (min-k is associative, so the
+    tree-reduce commutes with any partitioning)."""
+
+    def hash_and_prune(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keyed = pa.table(
+            {
+                stratum_col: batch.column(stratum_col),
+                "doc_id": batch.column("doc_id"),
+                "sample_key": pa.array(
+                    sample_keys(ids, seed).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        return _keep_k_block(keyed, stratum_col=stratum_col, k=k,
+                             with_rank=False)
+
+    candidates = docs.map_batches(hash_and_prune, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    # intermediate fan-in bounds the final task: without it, a corpus
+    # read as B blocks would funnel k x strata x B candidate rows into
+    # ONE reduce task (at 10^6 blocks that is 10^8 rows); with it the
+    # biggest task sees k x strata x (B / fan_in)
+    reduced = candidates.repartition(fan_in).map_batches(
+        lambda b: _keep_k_block(b, stratum_col=stratum_col, k=k,
+                                with_rank=False),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return reduced.repartition(1).map_batches(
+        lambda b: _keep_k_block(b, stratum_col=stratum_col, k=k,
+                                with_rank=True),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -11,8 +11,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .functions import contamination, dedup, relational, similarity, \
-    text as ftext
+from .functions import contamination, dedup, relational, sampling, \
+    similarity, text as ftext
 
 # Stopword literal shared with oracle SQL strings.
 _STOP_SQL = "('the','and','of','a','in','to')"
@@ -574,6 +574,17 @@ def q_docs_sample_mod(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_lang_sample(sf_dir: str):
+    """Seeded stratified sample (training-mix construction): the 20
+    smallest-hash documents per language — reproducible across runs,
+    orderings and cluster sizes.  The exchange carries at most
+    k x strata x blocks rows of 3 scalar columns (partial top-k per
+    block first), independent of corpus size."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sampling.sample_stratified(ds, stratum_col="lang", k=20,
+                                      seed=9176)
+
+
 def q_brand_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
@@ -953,6 +964,7 @@ def queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "distinct_lang_source": q_distinct_lang_source,
         "docs_sample_mod": q_docs_sample_mod,
+        "lang_sample": q_lang_sample,
         "brand_stats": q_brand_stats,
         "props_extract": q_props_extract,
         "band_join": q_band_join,
@@ -1142,6 +1154,31 @@ def _base_oracles() -> dict:
         """,
         "docs_sample_mod": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
+        """,
+        # seeded stratified sample: the hash chain is the exact HUGEINT
+        # recomputation of sampling.sample_keys (affine + square mix
+        # mod 2^61-1; multiplier is sampling.SAMPLE_MULT, seed 9176)
+        "lang_sample": """
+            WITH keyed AS (
+              SELECT lang, doc_id,
+                     CAST((h1*h1 + h1) % 2305843009213693951 AS BIGINT)
+                       AS sample_key
+              FROM (
+                SELECT lang, doc_id,
+                       (CAST(doc_id + 1 AS HUGEINT)
+                          * 1234567890123456789 + 9176)
+                         % 2305843009213693951 AS h1
+                FROM documents
+              )
+            ), ranked AS (
+              SELECT lang, doc_id, sample_key,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY sample_key, doc_id
+                     ) AS rn
+              FROM keyed
+            )
+            SELECT lang, doc_id, sample_key, CAST(rn AS BIGINT) AS rn
+            FROM ranked WHERE rn <= 20
         """,
         "brand_stats": """
             SELECT p_brand,
@@ -1359,7 +1396,12 @@ def _base_oracles() -> dict:
         "minhash_dedup": _MINHASH_PAIRS_SQL,
         # transitive closure of the minhash pair graph via a recursive
         # CTE (fine at sf0.01 pair counts); cluster_id = the reachable
-        # set's min doc_id, matching min-label propagation's fixpoint
+        # set's min doc_id, matching min-label propagation's fixpoint.
+        # FRAGILITY (ADVICE r2): this gate inherits MinHash banding
+        # recall (~2e-4 miss/pair at 0.8) — one missed candidate pair
+        # splits a component and fails the whole query.  The fixed
+        # corpus+seed pins it green today; a REGENERATED corpus requires
+        # re-validating banding recall before trusting a red result.
         "dup_clusters": f"""
             WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
             edges AS (

@@ -571,3 +571,46 @@ def test_prep_corpus_gate_and_dedup(ray_session):
     assert "text" not in out.columns  # scalars only past the annotate stage
     assert set(out.columns) == {"doc_id", "pred_lang", "n_chars",
                                 "quality_score", "fingerprint"}
+
+
+def test_sample_keys_exact_vs_python_int():
+    """The vectorized hash chain is bit-identical to exact Python-int
+    arithmetic (the contract the HUGEINT SQL oracle recomputes)."""
+    import numpy as np
+
+    from ollama_ocr_ray.functions.sampling import (SAMPLE_MULT,
+                                                   sample_keys)
+    from ollama_ocr_ray.functions.text import _FP_MOD
+
+    ids = np.array([0, 1, 7, 12345, 2**40, 2**53 - 1], dtype=np.uint64)
+    seed = 9176
+    got = sample_keys(ids, seed)
+    for i, x in enumerate(ids.tolist()):
+        h1 = ((x + 1) * SAMPLE_MULT + seed) % _FP_MOD
+        want = (h1 * h1 + h1) % _FP_MOD
+        assert int(got[i]) == want
+
+
+def test_sample_stratified_partition_independent(ray_session):
+    """Same sample regardless of block layout; k per stratum bounded;
+    rn ordering matches (sample_key, doc_id)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sampling import sample_stratified
+
+    def rows(onb):
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "lang"], override_num_blocks=onb,
+        )
+        out = sample_stratified(ds, stratum_col="lang", k=5, seed=3).take_all()
+        return sorted((r["lang"], r["rn"], r["doc_id"], r["sample_key"])
+                      for r in out)
+
+    a, b = rows(2), rows(9)
+    assert a == b and len(a) > 0
+    per_lang = {}
+    for lang, rn, _, _ in a:
+        per_lang.setdefault(lang, []).append(rn)
+    for lang, rns in per_lang.items():
+        assert rns == list(range(1, len(rns) + 1)) and len(rns) <= 5
