@@ -520,3 +520,134 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
             "quality_score": pa.array(score, type=pa.float64()),
         }
     )
+
+
+# --- repetition filter (Gopher-style) ----------------------------------------
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document line-repetition signals (the Gopher quality rules'
+    "fraction of characters in duplicate lines"; Rae et al. 2021, table
+    A1): n_lines, distinct_lines, dup_line_frac, and the char-weighted
+    dup_char_frac (chars belonging to any line value occurring >= 2
+    times in the doc, over all line chars).
+
+    Fully vectorized and hash-free: ``pyarrow.compute`` splits and
+    ``dictionary_encode`` factorizes the flattened lines exactly (C++
+    string equality — no collision caveat), then per-doc distinct /
+    duplicate masses are two ``np.bincount`` passes over
+    ``doc_index * n_dict + line_code`` keys.  Fractions are emitted
+    integer-scaled (``floor(x*10000 + 0.5)``) with the same float64
+    operation order as the SQL oracle, per the repo convention."""
+    batch = batch.combine_chunks()
+    n = len(batch)
+    lines = pc.split_pattern(batch.column("text"), "\n")
+    flat = pc.list_flatten(lines).combine_chunks()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    per_doc = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+    dic = flat.dictionary_encode()
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    n_dict = len(dic.dictionary)
+    key = seg * max(n_dict, 1) + codes
+    uniq, inv, cnt = np.unique(key, return_inverse=True,
+                               return_counts=True)
+    distinct = np.bincount(uniq // max(n_dict, 1), minlength=n)
+    dup_mask = (cnt[inv] >= 2).astype(np.int64)
+    total_chars = np.bincount(seg, weights=lens, minlength=n)
+    dup_chars = np.bincount(seg, weights=lens * dup_mask, minlength=n)
+    # same float64 op order as the oracle: (1 - distinct/total)*1e4+0.5
+    dup_line_frac = np.floor(
+        (1.0 - distinct.astype(np.float64) / per_doc) * 10000.0 + 0.5
+    ).astype(np.int64)
+    dup_char_frac = np.floor(
+        dup_chars / np.maximum(total_chars, 1.0) * 10000.0 + 0.5
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(per_doc, type=pa.int64()),
+            "distinct_lines": pa.array(distinct, type=pa.int64()),
+            "dup_line_frac_e4": pa.array(dup_line_frac, type=pa.int64()),
+            "dup_char_frac_e4": pa.array(dup_char_frac, type=pa.int64()),
+        }
+    )
+
+
+def top_2gram_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document top word-2-gram occurrence fraction (the companion
+    Gopher repetition rule: a doc dominated by one repeated phrase is
+    boilerplate).  Documents with fewer than 2 whitespace tokens emit no
+    row (no 2-grams exist).
+
+    Vectorized end-to-end: whitespace split + nonempty filter (the
+    repo's shared tokenizer convention), adjacent-pair concat on object
+    arrays, arrow ``dictionary_encode`` factorization of the grams, and
+    per-(doc, gram) counts via ``np.unique``; the per-doc argmax with
+    the (count DESC, gram ASC) tie-break is one lexsort + segment-first
+    take — identical to the SQL oracle's ``row_number() OVER (ORDER BY
+    c DESC, g)``."""
+    batch = batch.combine_chunks()
+    n = len(batch)
+    out_schema = pa.schema(
+        [("doc_id", batch.schema.field("doc_id").type),
+         ("top_gram", pa.string()), ("top_count", pa.int64()),
+         ("n_2grams", pa.int64()), ("top_2gram_frac_e4", pa.int64())]
+    )
+    if n == 0:
+        return out_schema.empty_table()
+    toks = pc.utf8_split_whitespace(batch.column("text"))
+    flat = pc.list_flatten(toks).combine_chunks()
+    words = np.asarray(flat.to_pylist(), dtype=object)
+    per_doc = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+    nonempty = words != ""
+    words, seg = words[nonempty], seg[nonempty]
+    if len(words) == 0:
+        return out_schema.empty_table()
+    # adjacent pairs within a document: position i pairs with i+1 when
+    # both belong to the same segment
+    same = seg[:-1] == seg[1:]
+    if not same.any():
+        return out_schema.empty_table()
+    grams = words[:-1][same] + " " + words[1:][same]
+    gseg = seg[:-1][same]
+    dic = pa.array(list(grams), type=pa.string()).dictionary_encode()
+    codes = np.asarray(dic.indices, dtype=np.int64)
+    n_dict = max(len(dic.dictionary), 1)
+    uniq, cnt = np.unique(gseg * n_dict + codes, return_counts=True)
+    useg = uniq // n_dict
+    ugram = np.asarray(dic.dictionary.to_pylist(), dtype=object)[
+        uniq % n_dict
+    ]
+    n_2grams = np.bincount(gseg, minlength=n)
+    # per-doc argmax, ties broken by gram ASC: lexsort is stable with
+    # the LAST key primary → (gram, -count, seg)
+    order = np.lexsort((ugram, -cnt, useg))
+    useg_s, cnt_s, ugram_s = useg[order], cnt[order], ugram[order]
+    first = np.empty(len(useg_s), dtype=bool)
+    first[0] = True
+    first[1:] = useg_s[1:] != useg_s[:-1]
+    win_seg = useg_s[first]
+    win_cnt = cnt_s[first].astype(np.int64)
+    win_gram = ugram_s[first]
+    totals = n_2grams[win_seg].astype(np.float64)
+    frac = np.floor(win_cnt / totals * 10000.0 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(
+                pa.array(win_seg, type=pa.int64())
+            ),
+            "top_gram": pa.array(list(win_gram), type=pa.string()),
+            "top_count": pa.array(win_cnt, type=pa.int64()),
+            "n_2grams": pa.array(n_2grams[win_seg].astype(np.int64),
+                                 type=pa.int64()),
+            "top_2gram_frac_e4": pa.array(frac, type=pa.int64()),
+        }
+    ).cast(out_schema)

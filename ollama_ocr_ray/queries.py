@@ -827,6 +827,24 @@ def q_quality_score(sf_dir: str):
     return ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filter signals: duplicate-line fraction
+    and char-weighted duplicate-line mass per document (the rule a
+    pretraining pipeline uses to drop boilerplate/spam).  Pure per-block
+    map — no exchange."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.repetition_stats_batch,
+                          batch_format="pyarrow")
+
+
+def q_top_2gram(sf_dir: str):
+    """Companion Gopher rule: top word-2-gram occurrence fraction per
+    document (phrase-level boilerplate detector).  Pure per-block map."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.top_2gram_stats_batch,
+                          batch_format="pyarrow")
+
+
 def q_order_priority(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
     return relational.order_priority_counts(ds, "1994-01-01", "1997-01-01")
@@ -972,6 +990,8 @@ def queries() -> dict:
         "events_sliding": q_events_sliding,
         "top_orders_segment": q_top_orders_segment,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "top_2gram": q_top_2gram,
         "prep_corpus": q_prep_corpus,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
@@ -1266,6 +1286,66 @@ def _base_oracles() -> dict:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS DOUBLE) / count(*) AS avg_k
             FROM events GROUP BY event_type
+        """,
+        # top word-2-gram per doc; ties broken (count DESC, gram ASC)
+        # exactly as the engine's lexsort; docs with < 2 tokens emit no
+        # row on either side
+        "top_2gram": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1]))
+                       AS g
+              FROM toks WHERE len(t) >= 2
+            ), counted AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM grams GROUP BY doc_id, g
+            ), ranked AS (
+              SELECT doc_id, g, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, g) AS rn,
+                     sum(c) OVER (PARTITION BY doc_id) AS n2
+              FROM counted
+            )
+            SELECT doc_id, g AS top_gram,
+                   CAST(c AS BIGINT) AS top_count,
+                   CAST(n2 AS BIGINT) AS n_2grams,
+                   CAST(floor(CAST(c AS DOUBLE) / n2 * 10000 + 0.5)
+                        AS BIGINT) AS top_2gram_frac_e4
+            FROM ranked WHERE rn = 1
+        """,
+        # line-level repetition: group the doc's lines by VALUE; the
+        # engine's dictionary_encode factorization is the same exact
+        # string-equality grouping.  Fraction floats use the identical
+        # float64 op order on both sides (repo convention).
+        "repetition_stats": """
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), grouped AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS len
+              FROM lines GROUP BY doc_id, line
+            ), per_doc AS (
+              SELECT doc_id,
+                     sum(c) AS n_lines,
+                     count(*) AS distinct_lines,
+                     sum(len * c) AS total_chars,
+                     sum(CASE WHEN c >= 2 THEN len * c ELSE 0 END)
+                       AS dup_chars
+              FROM grouped GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(distinct_lines AS BIGINT) AS distinct_lines,
+                   CAST(floor((1 - CAST(distinct_lines AS DOUBLE)
+                               / n_lines) * 10000 + 0.5) AS BIGINT)
+                     AS dup_line_frac_e4,
+                   CAST(floor(CAST(dup_chars AS DOUBLE)
+                              / greatest(total_chars, 1) * 10000 + 0.5)
+                        AS BIGINT) AS dup_char_frac_e4
+            FROM per_doc
         """,
         "quality_score": """
             SELECT doc_id,
