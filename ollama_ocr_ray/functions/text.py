@@ -651,3 +651,35 @@ def top_2gram_stats_batch(batch: pa.Table) -> pa.Table:
             "top_2gram_frac_e4": pa.array(frac, type=pa.int64()),
         }
     ).cast(out_schema)
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+# Both arrow's replace_substring_regex and DuckDB's regexp_replace run
+# RE2, so the engine and the SQL oracle apply the IDENTICAL pattern
+# semantics — keep these literals in sync with queries._base_oracles.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def scrub_pii_batch(batch: pa.Table) -> pa.Table:
+    """Redact emails then phone-like digit runs, counting each: the
+    privacy-scrub stage a training-data pipeline runs before export.
+    Order matters and is part of the contract: phones are counted AFTER
+    email redaction (an email's digits can't double-count as a phone),
+    so the oracle nests its regexp_replace the same way.  Pure RE2
+    kernels per block — no Python loop, no exchange."""
+    batch = batch.combine_chunks()
+    text = batch.column("text")
+    n_emails = pc.count_substring_regex(text, EMAIL_RE).cast(pa.int64())
+    t1 = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    n_phones = pc.count_substring_regex(t1, PHONE_RE).cast(pa.int64())
+    t2 = pc.replace_substring_regex(t1, PHONE_RE, "<PHONE>")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "clean_text": t2,
+        }
+    )

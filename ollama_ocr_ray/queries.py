@@ -845,6 +845,14 @@ def q_top_2gram(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_scrub_pii(sf_dir: str):
+    """PII scrub (emails then phone-like runs redacted + counted): the
+    privacy pass before a training-data export.  RE2 on both sides;
+    pure per-block map."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.scrub_pii_batch, batch_format="pyarrow")
+
+
 def q_order_priority(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
     return relational.order_priority_counts(ds, "1994-01-01", "1997-01-01")
@@ -992,6 +1000,7 @@ def queries() -> dict:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "top_2gram": q_top_2gram,
+        "scrub_pii": q_scrub_pii,
         "prep_corpus": q_prep_corpus,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
@@ -1286,6 +1295,27 @@ def _base_oracles() -> dict:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                         AS DOUBLE) / count(*) AS avg_k
             FROM events GROUP BY event_type
+        """,
+        # PII scrub: same RE2 patterns as text.EMAIL_RE / text.PHONE_RE,
+        # nested the same way (phones counted AFTER email redaction)
+        "scrub_pii": r"""
+            WITH t1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM documents
+            )
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS BIGINT)
+                     AS n_phones,
+                   regexp_replace(t, '\+?[0-9][0-9 ()-]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS clean_text
+            FROM t1
         """,
         # top word-2-gram per doc; ties broken (count DESC, gram ASC)
         # exactly as the engine's lexsort; docs with < 2 tokens emit no

@@ -614,3 +614,29 @@ def test_sample_stratified_partition_independent(ray_session):
         per_lang.setdefault(lang, []).append(rn)
     for lang, rns in per_lang.items():
         assert rns == list(range(1, len(rns) + 1)) and len(rns) <= 5
+
+
+def test_scrub_pii_planted():
+    """The synthetic corpus contains no PII (the driver gate only
+    proves passthrough), so plant some: emails redact first, then
+    phone-like runs — and an email's digits never double-count."""
+    import pyarrow as pa
+
+    from ollama_ocr_ray.functions.text import scrub_pii_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([
+                "mail a.b+c@example.org or x@y.co now",
+                "call +1 (415) 555-0199 or 020 7946 0958 today",
+                "no pii here",
+            ]),
+        }
+    )
+    out = scrub_pii_batch(batch).to_pylist()
+    assert out[0]["n_emails"] == 2 and out[0]["n_phones"] == 0
+    assert out[0]["clean_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 2
+    assert out[1]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert out[2]["clean_text"] == "no pii here"
