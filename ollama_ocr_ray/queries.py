@@ -581,8 +581,11 @@ def q_lang_sample(sf_dir: str):
     k x strata x blocks rows of 3 scalar columns (partial top-k per
     block first), independent of corpus size."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    # fan_in=4 at test scale: the default 64 would EXPAND the handful of
+    # candidate blocks and pay post-repartition dispatch for nothing
+    # (same caveat as extract's reassembly_partitions, BASELINE.md r3)
     return sampling.sample_stratified(ds, stratum_col="lang", k=20,
-                                      seed=9176)
+                                      seed=9176, fan_in=4)
 
 
 def q_brand_stats(sf_dir: str):
