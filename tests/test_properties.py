@@ -228,3 +228,66 @@ def test_fingerprint_chunking_and_edges():
     big = "x" * ((1 << 23) + 17)
     assert int(ftext.fingerprint_texts([big, "tail"])[1]) == \
         ftext.rolling_fingerprint("tail")
+
+
+def _naive_repetition(text: str):
+    lines = text.split("\n")
+    from collections import Counter
+
+    c = Counter(lines)
+    total_chars = sum(len(l) for l in lines)
+    dup_chars = sum(len(l) for l in lines if c[l] >= 2)
+    import math
+
+    return {
+        "n_lines": len(lines),
+        "distinct_lines": len(c),
+        "dup_line_frac_e4": math.floor(
+            (1.0 - len(c) / len(lines)) * 10000.0 + 0.5
+        ),
+        "dup_char_frac_e4": math.floor(
+            dup_chars / max(total_chars, 1) * 10000.0 + 0.5
+        ),
+    }
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "bb", "€€", "", "line x", "αβ"]),
+             min_size=1, max_size=8).map("\n".join),
+    min_size=1, max_size=6,
+))
+def test_repetition_stats_matches_naive(texts):
+    from ollama_ocr_ray.functions.text import repetition_stats_batch
+
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = repetition_stats_batch(batch).to_pylist()
+    for row, text in zip(got, texts):
+        want = _naive_repetition(text)
+        for k, v in want.items():
+            assert row[k] == v, (k, text)
+
+
+def test_top_2gram_edges():
+    """Empty / single-token / whitespace-only docs emit no row; ties
+    break (count DESC, gram ASC); unicode grams survive."""
+    from ollama_ocr_ray.functions.text import top_2gram_stats_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "", "solo", "  \t ",
+            "b a b a b",            # 'a b' x2, 'b a' x2 → tie → 'a b'
+            "€ x € x €",
+        ]),
+    })
+    got = {r["doc_id"]: r for r in top_2gram_stats_batch(batch).to_pylist()}
+    assert set(got) == {3, 4}
+    assert got[3]["top_gram"] == "a b" and got[3]["top_count"] == 2
+    assert got[3]["n_2grams"] == 4
+    # tie 'x €' vs '€ x': codepoint order picks 'x €' (U+0078 < U+20AC)
+    # — identical to DuckDB's binary UTF-8 ORDER BY
+    assert got[4]["top_gram"] == "x €" and got[4]["top_count"] == 2
