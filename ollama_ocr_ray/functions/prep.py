@@ -85,3 +85,77 @@ def prep_corpus(docs, *, quality_threshold: float = 0.01, concurrency=None):
         _keep_first_block, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+class CurateAnnotate:
+    """Round-3 flagship annotate stage: ``PrepAnnotate``'s quality gate
+    PLUS the Gopher phrase-repetition gate (top word-2-gram fraction),
+    in the same single text pass.  Gate order is cost-ordered (cheap
+    quality kernels first, 2-gram factorization only on survivors,
+    lang-ID + fingerprint only on final survivors); the gates are
+    conjunctive per-doc predicates, so ordering cannot change the
+    result vs the oracle's compute-all-then-filter."""
+
+    def __init__(self, quality_threshold: float = 0.01,
+                 max_top2gram_e4: int = 800):
+        self.thr = quality_threshold
+        self.max_rep = int(max_top2gram_e4)
+        self._lang = LangId()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .text import top_2gram_frac_aligned
+
+        q = quality_score_batch(batch)
+        keep = pa.array(
+            q.column("quality_score").to_numpy(zero_copy_only=False)
+            >= self.thr
+        )
+        q = q.filter(keep)
+        survivors = batch.filter(keep)
+        # phrase-repetition gate: -1 = no 2-grams = pass (the oracle's
+        # coalesce(frac, 0) <= max)
+        rep = top_2gram_frac_aligned(survivors)
+        keep2 = pa.array(rep <= self.max_rep)
+        q = q.filter(keep2)
+        survivors = survivors.filter(keep2)
+        lang = self._lang(survivors).column("pred_lang")
+        fp = fingerprint_batch(survivors).column("fingerprint")
+        t = q.append_column("pred_lang", lang).append_column(
+            "fingerprint", fp
+        )
+        return t.select(
+            ["doc_id", "pred_lang", "n_chars", "quality_score",
+             "fingerprint"]
+        )
+
+
+def curate_corpus(docs, *, quality_threshold: float = 0.01,
+                  max_top2gram_e4: int = 800, k: int = 20, seed: int = 0,
+                  fan_in: int = 64, concurrency=None):
+    """End-to-end corpus curation: gate (quality + phrase repetition) →
+    annotate → exact-dedup keep-min-doc_id → seeded stratified sample
+    of k docs per predicted language.  The composed training-mix job:
+    text is read ONCE, the dedup exchange carries 5 scalar columns, the
+    sample reduce carries k x langs x blocks rows.
+
+    Returns (pred_lang, doc_id, sample_key, rn) — the mix manifest a
+    downstream export joins back against doc storage."""
+    from .sampling import sample_stratified
+
+    ann_kwargs = {"quality_threshold": quality_threshold,
+                  "max_top2gram_e4": max_top2gram_e4}
+    if concurrency is None:
+        ann = docs.map_batches(
+            CurateAnnotate(**ann_kwargs), batch_format="pyarrow"
+        )
+    else:
+        ann = docs.map_batches(
+            CurateAnnotate, batch_format="pyarrow",
+            concurrency=concurrency, fn_constructor_kwargs=ann_kwargs,
+        )
+    deduped = ann.sort("fingerprint").map_batches(
+        _keep_first_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return sample_stratified(deduped, stratum_col="pred_lang", k=k,
+                             seed=seed, fan_in=fan_in)

@@ -578,28 +578,14 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def top_2gram_stats_batch(batch: pa.Table) -> pa.Table:
-    """Per-document top word-2-gram occurrence fraction (the companion
-    Gopher repetition rule: a doc dominated by one repeated phrase is
-    boilerplate).  Documents with fewer than 2 whitespace tokens emit no
-    row (no 2-grams exist).
-
-    Vectorized end-to-end: whitespace split + nonempty filter (the
-    repo's shared tokenizer convention), adjacent-pair concat on object
-    arrays, arrow ``dictionary_encode`` factorization of the grams, and
-    per-(doc, gram) counts via ``np.unique``; the per-doc argmax with
-    the (count DESC, gram ASC) tie-break is one lexsort + segment-first
-    take — identical to the SQL oracle's ``row_number() OVER (ORDER BY
-    c DESC, g)``."""
-    batch = batch.combine_chunks()
+def _top2gram_core(batch: pa.Table):
+    """Shared 2-gram winner computation: (win_seg, win_gram, win_cnt,
+    n_2grams) with win_* indexed by batch row position, or None when the
+    batch has no 2-grams at all.  See ``top_2gram_stats_batch`` for the
+    algorithm notes."""
     n = len(batch)
-    out_schema = pa.schema(
-        [("doc_id", batch.schema.field("doc_id").type),
-         ("top_gram", pa.string()), ("top_count", pa.int64()),
-         ("n_2grams", pa.int64()), ("top_2gram_frac_e4", pa.int64())]
-    )
     if n == 0:
-        return out_schema.empty_table()
+        return None
     toks = pc.utf8_split_whitespace(batch.column("text"))
     flat = pc.list_flatten(toks).combine_chunks()
     words = np.asarray(flat.to_pylist(), dtype=object)
@@ -610,12 +596,12 @@ def top_2gram_stats_batch(batch: pa.Table) -> pa.Table:
     nonempty = words != ""
     words, seg = words[nonempty], seg[nonempty]
     if len(words) == 0:
-        return out_schema.empty_table()
+        return None
     # adjacent pairs within a document: position i pairs with i+1 when
     # both belong to the same segment
     same = seg[:-1] == seg[1:]
     if not same.any():
-        return out_schema.empty_table()
+        return None
     grams = words[:-1][same] + " " + words[1:][same]
     gseg = seg[:-1][same]
     dic = pa.array(list(grams), type=pa.string()).dictionary_encode()
@@ -634,9 +620,50 @@ def top_2gram_stats_batch(batch: pa.Table) -> pa.Table:
     first = np.empty(len(useg_s), dtype=bool)
     first[0] = True
     first[1:] = useg_s[1:] != useg_s[:-1]
-    win_seg = useg_s[first]
-    win_cnt = cnt_s[first].astype(np.int64)
-    win_gram = ugram_s[first]
+    return (useg_s[first], ugram_s[first],
+            cnt_s[first].astype(np.int64), n_2grams)
+
+
+def top_2gram_frac_aligned(batch: pa.Table) -> np.ndarray:
+    """Per-input-row ``top_2gram_frac_e4`` as int64, with -1 for rows
+    that have no 2-grams (< 2 tokens) — the gate-friendly view used by
+    ``prep.curate_corpus`` (its SQL oracle treats the missing case as
+    ``coalesce(frac, 0)``, i.e. pass)."""
+    out = np.full(len(batch), -1, dtype=np.int64)
+    core = _top2gram_core(batch.combine_chunks())
+    if core is None:
+        return out
+    win_seg, _, win_cnt, n_2grams = core
+    totals = n_2grams[win_seg].astype(np.float64)
+    out[win_seg] = np.floor(
+        win_cnt / totals * 10000.0 + 0.5
+    ).astype(np.int64)
+    return out
+
+
+def top_2gram_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document top word-2-gram occurrence fraction (the companion
+    Gopher repetition rule: a doc dominated by one repeated phrase is
+    boilerplate).  Documents with fewer than 2 whitespace tokens emit no
+    row (no 2-grams exist).
+
+    Vectorized end-to-end: whitespace split + nonempty filter (the
+    repo's shared tokenizer convention), adjacent-pair concat on object
+    arrays, arrow ``dictionary_encode`` factorization of the grams, and
+    per-(doc, gram) counts via ``np.unique``; the per-doc argmax with
+    the (count DESC, gram ASC) tie-break is one lexsort + segment-first
+    take — identical to the SQL oracle's ``row_number() OVER (ORDER BY
+    c DESC, g)``."""
+    batch = batch.combine_chunks()
+    out_schema = pa.schema(
+        [("doc_id", batch.schema.field("doc_id").type),
+         ("top_gram", pa.string()), ("top_count", pa.int64()),
+         ("n_2grams", pa.int64()), ("top_2gram_frac_e4", pa.int64())]
+    )
+    core = _top2gram_core(batch)
+    if core is None:
+        return out_schema.empty_table()
+    win_seg, win_gram, win_cnt, n_2grams = core
     totals = n_2grams[win_seg].astype(np.float64)
     frac = np.floor(win_cnt / totals * 10000.0 + 0.5).astype(np.int64)
     return pa.table(

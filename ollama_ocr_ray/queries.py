@@ -825,6 +825,18 @@ def q_prep_corpus(sf_dir: str):
     return prep_corpus(ds, quality_threshold=0.01)
 
 
+def q_curate_corpus(sf_dir: str):
+    """Composed training-mix job (round-3 flagship composition): gate
+    (quality + Gopher top-2-gram repetition) → annotate → exact-dedup →
+    seeded stratified sample per predicted language.  One text pass;
+    scalar-only exchanges throughout."""
+    from .functions.prep import curate_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=8)
+    return curate_corpus(ds, quality_threshold=0.01, max_top2gram_e4=800,
+                         k=20, seed=4242, fan_in=4)
+
+
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow")
@@ -1005,6 +1017,7 @@ def queries() -> dict:
         "top_2gram": q_top_2gram,
         "scrub_pii": q_scrub_pii,
         "prep_corpus": q_prep_corpus,
+        "curate_corpus": q_curate_corpus,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
         "nation_rollup": q_nation_rollup,
@@ -1662,5 +1675,51 @@ def oracle_sql() -> dict:
         SELECT doc_id, pred_lang, n_chars, quality_score, fingerprint
         FROM ann
         WHERE doc_id IN (SELECT min(doc_id) FROM ann GROUP BY fingerprint)
+    """
+    # curate_corpus composes quality + top-2-gram repetition gates,
+    # lang/fingerprint annotate, dedup keep-min, and the stratified
+    # sample hash chain (sampling.SAMPLE_MULT, seed 4242, k 20) — every
+    # fragment individually proven exact-match.  Docs with no 2-grams
+    # pass the repetition gate (coalesce(frac, 0)), matching the
+    # engine's -1 sentinel.
+    d["curate_corpus"] = f"""
+        WITH q AS ({d["quality_score"]}),
+        l AS ({d["lang_id"]}),
+        f AS ({d["doc_fingerprint"]}),
+        g AS ({d["top_2gram"]}),
+        ann AS (
+          SELECT q.doc_id, l.pred_lang, f.fingerprint
+          FROM q JOIN l ON l.doc_id = q.doc_id
+          JOIN f ON f.doc_id = q.doc_id
+          LEFT JOIN g ON g.doc_id = q.doc_id
+          WHERE q.quality_score >= 0.01
+            AND coalesce(g.top_2gram_frac_e4, 0) <= 800
+        ),
+        dedup AS (
+          SELECT doc_id, pred_lang FROM ann
+          WHERE doc_id IN (SELECT min(doc_id) FROM ann
+                           GROUP BY fingerprint)
+        ),
+        keyed AS (
+          SELECT pred_lang, doc_id,
+                 CAST((h1*h1 + h1) % 2305843009213693951 AS BIGINT)
+                   AS sample_key
+          FROM (
+            SELECT pred_lang, doc_id,
+                   (CAST(doc_id + 1 AS HUGEINT)
+                      * 1234567890123456789 + 4242)
+                     % 2305843009213693951 AS h1
+            FROM dedup
+          )
+        ),
+        ranked AS (
+          SELECT pred_lang, doc_id, sample_key,
+                 row_number() OVER (
+                   PARTITION BY pred_lang ORDER BY sample_key, doc_id
+                 ) AS rn
+          FROM keyed
+        )
+        SELECT pred_lang, doc_id, sample_key, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 20
     """
     return d
