@@ -19,12 +19,21 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--input", required=True, help="documents table dir/file")
     ap.add_argument("--output", required=True, help="output dir (resumable)")
-    ap.add_argument("--job", choices=["extract", "prep"], default="extract",
+    ap.add_argument("--job", choices=["extract", "prep", "curate"],
+                    default="extract",
                     help="extract = resumable OCR extraction; prep = "
-                         "annotate + quality gate + exact-dedup corpus prep "
-                         "(streams straight to partitioned parquet)")
+                         "annotate + quality gate + exact-dedup corpus prep; "
+                         "curate = prep + phrase-repetition gate + "
+                         "stratified per-language sample (training mix)")
     ap.add_argument("--quality-threshold", type=float, default=0.01,
-                    help="prep job: minimum quality_score to keep")
+                    help="prep/curate job: minimum quality_score to keep")
+    ap.add_argument("--max-top2gram-e4", type=int, default=800,
+                    help="curate job: drop docs whose top word-2-gram "
+                         "exceeds this fraction (x1e4) of all 2-grams")
+    ap.add_argument("--sample-k", type=int, default=20,
+                    help="curate job: sampled docs per predicted language")
+    ap.add_argument("--sample-seed", type=int, default=0,
+                    help="curate job: stratified-sample hash seed")
     ap.add_argument("--overwrite", action="store_true",
                     help="prep job: replace a non-empty --output dir "
                          "instead of failing fast")
@@ -76,11 +85,11 @@ def main(argv=None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
-        if args.job == "prep":
+        if args.job in ("prep", "curate"):
             import os
             import shutil
 
-            from .state.runner import run_prep
+            from .state.runner import run_curate, run_prep
 
             # a non-empty output dir WITHOUT a prep manifest is foreign
             # (an old one-shot export, or somebody else's data): fail
@@ -101,15 +110,27 @@ def main(argv=None) -> int:
                     f"--output {args.output} is non-empty and has no prep "
                     "manifest; pass --overwrite to replace it"
                 )
-            summary = run_prep(
-                args.input,
-                args.output,
-                quality_threshold=args.quality_threshold,
-                wave=args.wave,
-                max_partitions=args.max_partitions,
-                shuffle_seed=args.shuffle_seed,
-                partition_by=args.partition_by,
-            )
+            if args.job == "curate":
+                summary = run_curate(
+                    args.input,
+                    args.output,
+                    quality_threshold=args.quality_threshold,
+                    max_top2gram_e4=args.max_top2gram_e4,
+                    sample_k=args.sample_k,
+                    sample_seed=args.sample_seed,
+                    wave=args.wave,
+                    max_partitions=args.max_partitions,
+                )
+            else:
+                summary = run_prep(
+                    args.input,
+                    args.output,
+                    quality_threshold=args.quality_threshold,
+                    wave=args.wave,
+                    max_partitions=args.max_partitions,
+                    shuffle_seed=args.shuffle_seed,
+                    partition_by=args.partition_by,
+                )
             print(json.dumps(summary))
             return 0
         from .stages.engines import resolve_model

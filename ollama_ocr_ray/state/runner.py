@@ -107,28 +107,25 @@ def _run_partition(
     return record
 
 
-def _prep_partition(
+def _annotate_partition(
     pid: int,
     input_file: str,
     manifest: Manifest,
     fingerprint: str,
     *,
-    quality_threshold: float,
+    make_annotator,
+    record_extra: dict,
 ) -> dict:
     """Annotate+gate ONE input file and commit it atomically.
 
-    This is the expensive, text-reading phase of prep (fingerprint +
-    lang-ID kernels over every byte of text), so it is the resumable
-    unit; the later global dedup pass reads only the 5 scalar output
+    This is the expensive, text-reading phase (fingerprint + lang-ID +
+    gate kernels over every byte of text), so it is the resumable unit;
+    the later global finalize pass reads only the scalar output
     columns."""
     import ray.data as rd
 
-    from ..functions.prep import PrepAnnotate
-
     ds = rd.read_parquet([input_file], columns=["doc_id", "text"])
-    ann = ds.map_batches(
-        PrepAnnotate(quality_threshold), batch_format="pyarrow"
-    )
+    ann = ds.map_batches(make_annotator(), batch_format="pyarrow")
     part_dir = manifest.part_dir(pid)
     tmp_dir = os.path.join(manifest.output_dir, f"_tmp-part-{pid:05d}")
     for stale in (tmp_dir, part_dir):
@@ -142,40 +139,45 @@ def _prep_partition(
     record = {
         "input_file": os.path.abspath(input_file),
         "input_fingerprint": fingerprint,
-        "quality_threshold": quality_threshold,
         "docs_kept": kept,
+        **record_extra,
     }
     manifest.commit(pid, record)
     return record
 
 
-def run_prep(
+def _run_two_phase(
+    job: str,
     input_path: str,
     output_dir: str,
     *,
-    quality_threshold: float = 0.01,
+    make_annotator,
+    annotate_sig: str,
+    build_finalize,
+    finalize_sig: str,
+    write_kwargs: dict | None = None,
+    record_extra: dict | None = None,
     wave: int = 4,
     max_partitions: int | None = None,
-    shuffle_seed: int | None = None,
-    partition_by: str | None = None,
 ) -> dict:
-    """Run (or resume) the corpus-prep export over ``input_path``.
+    """Generic resumable two-phase export (VERDICT r2 #6 — the
+    reference reruns everything on a crash, ``ollama_cloud_ocr.py:889``;
+    a 100-TB export must not):
 
-    Two phases (VERDICT r2 #6 — the reference reruns everything on a
-    crash, ``ollama_cloud_ocr.py:889``; a 100-TB export must not):
-
-    1. **Annotate** (resumable, partition = input file): quality gate +
-       lang-ID + content fingerprint per document, text dropped at the
-       stage boundary.  Each partition commits atomically
-       (tmp → rename → manifest record) under ``output_dir/annotated``;
-       a rerun fingerprint-matches and redoes only missing partitions.
-    2. **Finalize** (global, cheap): exact-dedup keep-min-doc_id over
-       the committed annotated rows — ONE sort over 5 scalar columns,
-       no text — then the optional seeded shuffle, written atomically
-       to ``output_dir/data``.  The finalize record is keyed on the
-       sorted set of annotated-partition fingerprints plus the export
-       config, so adding/changing any input partition re-runs only this
-       pass (over annotations, never over raw text).
+    1. **Annotate** (resumable, partition = input file):
+       ``make_annotator()`` maps each document block to its scalar
+       annotation rows, text dropped at the stage boundary.  Each
+       partition commits atomically (tmp → rename → manifest record)
+       under ``output_dir/annotated``; a rerun fingerprint-matches and
+       redoes only missing partitions.  ``annotate_sig`` folds the
+       gate/annotate config into the partition fingerprint, so a config
+       change redoes the annotate pass.
+    2. **Finalize** (global, cheap): ``build_finalize(ann_ds)`` runs the
+       cross-partition step (dedup / sample / shuffle) over the
+       committed annotations — scalar columns only, no text — written
+       atomically to ``output_dir/data``.  The finalize record is keyed
+       on the sorted partition fingerprints plus ``finalize_sig``, so
+       input or export-config changes re-run only this pass.
 
     A kill anywhere leaves either nothing or a committed unit; resume
     cost is bounded by one partition plus the finalize pass.
@@ -192,10 +194,8 @@ def run_prep(
     ann_dir = os.path.join(output_dir, "annotated")
     os.makedirs(ann_dir, exist_ok=True)
     manifest = Manifest(ann_dir)
-    # the quality threshold participates in the partition fingerprint:
-    # re-running with a different gate must redo the annotate pass
     fps = {
-        pid: f"{partition_fingerprint(f)}:q={quality_threshold!r}"
+        pid: f"{partition_fingerprint(f)}:{annotate_sig}"
         for pid, f in enumerate(files)
     }
     pending = [
@@ -209,15 +209,16 @@ def run_prep(
         with ThreadPoolExecutor(max_workers=max(1, wave)) as pool:
             futs = [
                 pool.submit(
-                    _prep_partition, pid, f, manifest, fps[pid],
-                    quality_threshold=quality_threshold,
+                    _annotate_partition, pid, f, manifest, fps[pid],
+                    make_annotator=make_annotator,
+                    record_extra=record_extra or {},
                 )
                 for pid, f in pending
             ]
             for fut in futs:
                 fut.result()
     summary = {
-        "job": "prep",
+        "job": job,
         "partitions_total": len(files),
         "partitions_skipped": skipped,
         "partitions_run": len(pending),
@@ -227,11 +228,10 @@ def run_prep(
     if any(not manifest.is_done(pid, fps[pid]) for pid in fps):
         return {**summary, "status": "partial", "rows_kept": None}
 
-    # --- finalize: global dedup over the committed annotations -------
+    # --- finalize: the global pass over the committed annotations ----
     finalize_key = hashlib.sha256(
         json.dumps(
-            [fps[pid] for pid in sorted(fps)]
-            + [repr(shuffle_seed), repr(partition_by)]
+            [fps[pid] for pid in sorted(fps)] + [finalize_sig]
         ).encode()
     ).hexdigest()[:16]
     final_rec_path = os.path.join(output_dir, "final.json")
@@ -251,29 +251,18 @@ def run_prep(
 
     import ray.data as rd
 
-    from ..functions.prep import _keep_first_block
-
     part_files = [
         os.path.join(d, f)
         for d in (manifest.part_dir(pid) for pid in sorted(fps))
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
-    ann = rd.read_parquet(part_files)
-    out = ann.sort("fingerprint").map_batches(
-        _keep_first_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    if shuffle_seed is not None:
-        out = out.random_shuffle(seed=shuffle_seed)
+    out = build_finalize(rd.read_parquet(part_files))
     tmp_data = os.path.join(output_dir, "_tmp-data")
     for stale in (tmp_data, data_dir):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
-    wkw = {}
-    if partition_by:
-        wkw["partition_cols"] = [partition_by]
-    out.write_parquet(tmp_data, **wkw)
+    out.write_parquet(tmp_data, **(write_kwargs or {}))
     os.replace(tmp_data, data_dir)
     import pyarrow.dataset as pads
 
@@ -285,6 +274,87 @@ def run_prep(
     os.replace(tmp_rec, final_rec_path)
     return {**summary, "status": "done", "rows_kept": rows_kept,
             "finalized": True}
+
+
+def run_prep(
+    input_path: str,
+    output_dir: str,
+    *,
+    quality_threshold: float = 0.01,
+    wave: int = 4,
+    max_partitions: int | None = None,
+    shuffle_seed: int | None = None,
+    partition_by: str | None = None,
+) -> dict:
+    """Run (or resume) the corpus-prep export: quality-gated annotate
+    partitions, then the global exact-dedup keep-min-doc_id (+ optional
+    seeded shuffle).  See ``_run_two_phase`` for the checkpoint
+    protocol."""
+    from ..functions.prep import PrepAnnotate, _keep_first_block
+
+    def build_finalize(ann):
+        out = ann.sort("fingerprint").map_batches(
+            _keep_first_block, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if shuffle_seed is not None:
+            out = out.random_shuffle(seed=shuffle_seed)
+        return out
+
+    return _run_two_phase(
+        "prep", input_path, output_dir,
+        make_annotator=lambda: PrepAnnotate(quality_threshold),
+        annotate_sig=f"q={quality_threshold!r}",
+        build_finalize=build_finalize,
+        finalize_sig=f"shuffle={shuffle_seed!r}:part={partition_by!r}",
+        write_kwargs={"partition_cols": [partition_by]}
+        if partition_by else None,
+        record_extra={"quality_threshold": quality_threshold},
+        wave=wave,
+        max_partitions=max_partitions,
+    )
+
+
+def run_curate(
+    input_path: str,
+    output_dir: str,
+    *,
+    quality_threshold: float = 0.01,
+    max_top2gram_e4: int = 800,
+    sample_k: int = 20,
+    sample_seed: int = 0,
+    fan_in: int = 64,
+    wave: int = 4,
+    max_partitions: int | None = None,
+) -> dict:
+    """Run (or resume) the training-mix curation export: quality +
+    phrase-repetition gated annotate partitions, then the global
+    exact-dedup + seeded stratified sample per predicted language.
+    Same checkpoint protocol as ``run_prep`` (``_run_two_phase``)."""
+    from ..functions.prep import CurateAnnotate, _keep_first_block
+    from ..functions.sampling import sample_stratified
+
+    def build_finalize(ann):
+        deduped = ann.sort("fingerprint").map_batches(
+            _keep_first_block, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return sample_stratified(deduped, stratum_col="pred_lang",
+                                 k=sample_k, seed=sample_seed,
+                                 fan_in=fan_in)
+
+    return _run_two_phase(
+        "curate", input_path, output_dir,
+        make_annotator=lambda: CurateAnnotate(quality_threshold,
+                                              max_top2gram_e4),
+        annotate_sig=f"q={quality_threshold!r}:rep={max_top2gram_e4}",
+        build_finalize=build_finalize,
+        finalize_sig=f"k={sample_k}:seed={sample_seed}",
+        record_extra={"quality_threshold": quality_threshold,
+                      "max_top2gram_e4": max_top2gram_e4},
+        wave=wave,
+        max_partitions=max_partitions,
+    )
 
 
 def run_extract(

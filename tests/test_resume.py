@@ -184,3 +184,43 @@ def test_prep_partial_run_then_resume(ray_session, docs_shards, tmp_path):
     # changing the gate invalidates the annotate partitions too
     s4 = run_prep(docs_shards, out, quality_threshold=0.02)
     assert s4["partitions_run"] == s4["partitions_total"]
+
+
+def test_curate_run_and_resume(ray_session, docs_shards, tmp_path, capsys):
+    """--job curate: partial run → resume → output equals the one-shot
+    library curate_corpus; idempotent rerun skips finalize."""
+    import json
+
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.prep import curate_corpus
+    from ollama_ocr_ray.run import main
+    from ollama_ocr_ray.state.runner import run_curate
+
+    out = str(tmp_path / "curate")
+    s1 = run_curate(docs_shards, out, sample_k=5, sample_seed=7,
+                    max_partitions=2, wave=2)
+    assert s1["status"] == "partial" and s1["partitions_run"] == 2
+
+    assert main(["--input", docs_shards, "--output", out, "--job",
+                 "curate", "--sample-k", "5", "--sample-seed", "7",
+                 "--wave", "2"]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["status"] == "done" and s2["partitions_skipped"] == 2
+
+    def rows(ds):
+        return sorted(
+            (r["pred_lang"], r["rn"], r["doc_id"], r["sample_key"])
+            for r in ds.take_all()
+        )
+
+    direct = curate_corpus(rd.read_parquet(docs_shards), k=5, seed=7,
+                           fan_in=4)
+    assert rows(rd.read_parquet(s2["data_dir"])) == rows(direct)
+    assert s2["rows_kept"] == len(rows(direct)) > 0
+
+    s3 = run_curate(docs_shards, out, sample_k=5, sample_seed=7)
+    assert s3["partitions_run"] == 0 and s3["finalized"] is False
+    # a different sample seed re-runs ONLY the finalize pass
+    s4 = run_curate(docs_shards, out, sample_k=5, sample_seed=8)
+    assert s4["partitions_run"] == 0 and s4["finalized"] is True
