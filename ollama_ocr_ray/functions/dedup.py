@@ -377,6 +377,16 @@ def _lsh_band_rows(docs, make_hasher, *, bands: int, concurrency=None):
     doc_id shuffle, and the verify stage re-joins text by doc_id.
     """
 
+    # fail at plan build, not in a crash-looping map task: the
+    # vectorized (docs, bands, r) reshape below requires bands to
+    # divide num_perm exactly (the old per-band slicing silently
+    # tolerated — and silently truncated — a non-divisor)
+    _probe = make_hasher()
+    if _probe.num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={_probe.num_perm}"
+        )
+
     class SigRows:
         def __init__(self):
             self._h = make_hasher()
@@ -486,7 +496,9 @@ def ngram_band_rows(docs, *, k: int = 9, num_perm: int = 64, bands: int = 16,
                 hs.append(h)
             return np.concatenate(hs), lengths
 
-    return _lsh_band_rows(docs, lambda: CharMinHash(num_perm=num_perm),
+    return _lsh_band_rows(docs,
+                          lambda: CharMinHash(num_perm=num_perm,
+                                              bands=bands),
                           bands=bands, concurrency=concurrency)
 
 

@@ -48,7 +48,19 @@ def sample_keys(doc_ids: np.ndarray, seed: int) -> np.ndarray:
     """Exact ((x+1)*A + seed) mod M, then a square mix (h*h + h) mod M —
     non-linear so sequential doc_ids don't sample as an arithmetic
     progression.  uint64 in, uint64 (< 2^61) out."""
-    x = np.asarray(doc_ids, dtype=np.uint64) + np.uint64(1)
+    ids = np.asarray(doc_ids)
+    if len(ids) and (
+        ids.min() < 0 or np.uint64(ids.max()) >= np.uint64(_FP_MOD - 1)
+    ):
+        # _mulmod61 is exact only for operands < 2^61: a negative id
+        # would wrap through the uint64 cast and a >= 2^61-1 id would
+        # overflow the split — either silently diverges from the
+        # HUGEINT SQL oracle, so refuse loudly instead
+        raise ValueError(
+            "sample_keys requires 0 <= doc_id < 2^61-2; reduce or remap "
+            "ids first"
+        )
+    x = ids.astype(np.uint64) + np.uint64(1)
     h1 = _addmod61(_mulmod61(x, np.uint64(SAMPLE_MULT)),
                    np.uint64(seed % _FP_MOD))
     return _addmod61(_mulmod61(h1, h1), h1)

@@ -417,6 +417,7 @@ class SimHasher:
     or per-doc Python loop (VERDICT r2 #3)."""
 
     _SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    _CHUNK_POS = 200_000  # positions per bit-matrix chunk (~50 MB int32)
 
     def simhash(self, text: str) -> int:
         """Scalar reference chain (property-tested against __call__)."""
@@ -446,10 +447,24 @@ class SimHasher:
         nonempty = counts > 0
         acc = np.zeros((len(texts), SIMHASH_BITS), dtype=np.int64)
         # chunk docs so the (positions x 60) int32 bit matrix stays ~50 MB
-        chunk_pos = 200_000
+        chunk_pos = self._CHUNK_POS
         lo = 0
         while lo < len(texts):
             hi = lo + 1
+            if bounds[hi] - bounds[lo] > chunk_pos:
+                # ONE doc bigger than the whole chunk budget (a 10M-token
+                # boilerplate page would otherwise allocate a 10M x 60
+                # matrix): bit-majority sums are associative over tokens,
+                # so fold the doc's positions in bounded sub-chunks
+                for s in range(int(bounds[lo]), int(bounds[hi]), chunk_pos):
+                    seg = tok_hash[s:min(s + chunk_pos, int(bounds[hi]))]
+                    contrib = (
+                        2 * ((seg[:, None] >> self._SHIFTS[None, :])
+                             & np.uint64(1)).astype(np.int32) - 1
+                    )
+                    acc[lo] += contrib.sum(axis=0, dtype=np.int64)
+                lo = hi
+                continue
             while hi < len(texts) and bounds[hi + 1] - bounds[lo] <= chunk_pos:
                 hi += 1
             seg = tok_hash[bounds[lo]:bounds[hi]]
@@ -581,47 +596,74 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
 def _top2gram_core(batch: pa.Table):
     """Shared 2-gram winner computation: (win_seg, win_gram, win_cnt,
     n_2grams) with win_* indexed by batch row position, or None when the
-    batch has no 2-grams at all.  See ``top_2gram_stats_batch`` for the
-    algorithm notes."""
+    batch has no 2-grams at all.
+
+    No per-token Python boxing (this runs inside the curate gate's hot
+    path): words stay an Arrow dictionary, a 2-gram is the int pair of
+    its word codes, per-(doc, pair) counts come from one lexsort +
+    run-length pass, and gram STRINGS are decoded only for the tied
+    max-count candidates (normally one per doc) to apply the
+    (count DESC, gram ASC) tie-break of the SQL oracle."""
     n = len(batch)
     if n == 0:
         return None
     toks = pc.utf8_split_whitespace(batch.column("text"))
     flat = pc.list_flatten(toks).combine_chunks()
-    words = np.asarray(flat.to_pylist(), dtype=object)
     per_doc = pc.list_value_length(toks).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
     seg = np.repeat(np.arange(n, dtype=np.int64), per_doc)
-    nonempty = words != ""
-    words, seg = words[nonempty], seg[nonempty]
-    if len(words) == 0:
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    seg = seg[keep]
+    if len(seg) == 0:
         return None
+    wdic = flat.dictionary_encode()
+    if isinstance(wdic, pa.ChunkedArray):
+        wdic = wdic.combine_chunks()
+    codes = np.asarray(wdic.indices, dtype=np.int64)
+    words_dict = wdic.dictionary
     # adjacent pairs within a document: position i pairs with i+1 when
     # both belong to the same segment
     same = seg[:-1] == seg[1:]
     if not same.any():
         return None
-    grams = words[:-1][same] + " " + words[1:][same]
+    g1, g2 = codes[:-1][same], codes[1:][same]
     gseg = seg[:-1][same]
-    dic = pa.array(list(grams), type=pa.string()).dictionary_encode()
-    codes = np.asarray(dic.indices, dtype=np.int64)
-    n_dict = max(len(dic.dictionary), 1)
-    uniq, cnt = np.unique(gseg * n_dict + codes, return_counts=True)
-    useg = uniq // n_dict
-    ugram = np.asarray(dic.dictionary.to_pylist(), dtype=object)[
-        uniq % n_dict
-    ]
     n_2grams = np.bincount(gseg, minlength=n)
-    # per-doc argmax, ties broken by gram ASC: lexsort is stable with
-    # the LAST key primary → (gram, -count, seg)
-    order = np.lexsort((ugram, -cnt, useg))
-    useg_s, cnt_s, ugram_s = useg[order], cnt[order], ugram[order]
-    first = np.empty(len(useg_s), dtype=bool)
+    # per-(doc, pair) counts: lexsort + run lengths (no composite key,
+    # so no overflow bound on dictionary size)
+    order = np.lexsort((g2, g1, gseg))
+    gs, a, b = gseg[order], g1[order], g2[order]
+    new = np.empty(len(gs), dtype=bool)
+    new[0] = True
+    new[1:] = (gs[1:] != gs[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.nonzero(new)[0]
+    cnt = np.diff(np.append(starts, len(gs))).astype(np.int64)
+    useg, ua, ub = gs[starts], a[starts], b[starts]
+    # per-doc max count, then decode strings ONLY for the tied entries
+    order2 = np.lexsort((-cnt, useg))
+    sseg, scnt = useg[order2], cnt[order2]
+    run = np.empty(len(sseg), dtype=bool)
+    run[0] = True
+    run[1:] = sseg[1:] != sseg[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(run, np.arange(len(sseg)), -1)
+    )
+    tied = scnt == scnt[run_start]
+    t_idx = order2[tied]
+    t_seg, t_cnt = useg[t_idx], cnt[t_idx]
+    ga = words_dict.take(pa.array(ua[t_idx]))
+    gb = words_dict.take(pa.array(ub[t_idx]))
+    t_gram = (np.asarray(ga.to_pylist(), dtype=object) + " "
+              + np.asarray(gb.to_pylist(), dtype=object))
+    order3 = np.lexsort((t_gram, t_seg))
+    fseg = t_seg[order3]
+    first = np.empty(len(fseg), dtype=bool)
     first[0] = True
-    first[1:] = useg_s[1:] != useg_s[:-1]
-    return (useg_s[first], ugram_s[first],
-            cnt_s[first].astype(np.int64), n_2grams)
+    first[1:] = fseg[1:] != fseg[:-1]
+    win = order3[first]
+    return (t_seg[win], t_gram[win], t_cnt[win], n_2grams)
 
 
 def top_2gram_frac_aligned(batch: pa.Table) -> np.ndarray:

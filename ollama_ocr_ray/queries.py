@@ -333,18 +333,26 @@ def _digest_parity(a_ds, b_ds, key: str = "doc_id") -> pa.Table:
         starts, ends = _segment_bounds(ids)
         counts = ends - starts
         dig = np.asarray(batch.column("digest").to_pylist(), dtype=object)
+        side = batch.column("side").to_numpy(zero_copy_only=False)
         not_pair = counts != 2
-        diff = np.zeros(len(starts), dtype=bool)
         pair = ~not_pair
+        # a pair must be one row from EACH side: two equal-digest rows
+        # from the same plan (e.g. a duplicated-doc bug on one side,
+        # with the doc missing from the other) must NOT pass the gate
+        side_bad = np.zeros(len(starts), dtype=bool)
+        side_bad[pair] = (side[starts[pair]] + side[starts[pair] + 1]) != 1
+        diff = np.zeros(len(starts), dtype=bool)
         diff[pair] = dig[starts[pair]] != dig[starts[pair] + 1]
-        sel = not_pair | diff
+        sel = not_pair | side_bad | diff
+        reason = np.select(
+            [not_pair[sel], side_bad[sel]],
+            ["n_sides!=2", "same-side-pair"],
+            default="digest-mismatch",
+        )
         return pa.table(
             {
                 "doc_id": pa.array(list(ids[starts[sel]]), type=pa.string()),
-                "reason": pa.array(
-                    np.where(not_pair[sel], "n_sides!=2",
-                             "digest-mismatch")
-                ),
+                "reason": pa.array(reason),
             }
         ).cast(out_schema)
 

@@ -112,11 +112,19 @@ def make_sink():
     class MetricsSink:
         def __init__(self):
             self._by_tag: dict = {}
+            self._closed: set = set()
 
         def push(self, tag, samples: list[dict]) -> None:
+            # a straggler push landing after the tag's drain is DROPPED
+            # (never misattributed, never retained): each partition
+            # drains exactly once at commit, so re-accumulating under a
+            # closed tag would leak for the rest of a long job
+            if tag in self._closed:
+                return
             self._by_tag.setdefault(tag, []).extend(samples)
 
         def drain(self, tag) -> list[dict]:
+            self._closed.add(tag)
             return self._by_tag.pop(tag, [])
 
     return MetricsSink.remote()

@@ -291,3 +291,42 @@ def test_top_2gram_edges():
     # tie 'x €' vs '€ x': codepoint order picks 'x €' (U+0078 < U+20AC)
     # — identical to DuckDB's binary UTF-8 ORDER BY
     assert got[4]["top_gram"] == "x €" and got[4]["top_count"] == 2
+
+
+def test_simhash_megadoc_chunked():
+    """A single doc bigger than the chunk budget folds in bounded
+    sub-chunks, bit-identical to the scalar chain (review fix: the old
+    loop allocated positions x 60 for the whole doc)."""
+    from ollama_ocr_ray.functions.text import SimHasher
+
+    class Tiny(SimHasher):
+        _CHUNK_POS = 64
+
+    big = " ".join(f"tok{i % 37}" for i in range(1000))
+    texts = ["short doc", big, "", "tail doc tail"]
+    h = Tiny()
+    got = h.simhash_texts(texts)
+    want = [SimHasher().simhash(t) for t in texts]
+    assert [int(v) for v in got] == want
+
+
+def test_top_2gram_many_ties():
+    """Multiple tied max-count grams across several docs resolve to the
+    lexicographically smallest in each, matching the oracle's
+    row_number ORDER BY c DESC, g."""
+    from ollama_ocr_ray.functions.text import top_2gram_stats_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        # doc0: 'c d','b a','a b' each once → tie of 3 → 'a b'... check:
+        # grams: c d, d b, b a, a a? construct explicitly instead
+        "text": pa.array([
+            "c d b a c d b a",   # grams: c d, d b, b c? no — linear scan
+            "z y z y z",
+        ]),
+    })
+    got = {r["doc_id"]: r for r in top_2gram_stats_batch(batch).to_pylist()}
+    # doc0 grams: (c d)(d b)(b a)(a c)(c d)(d b)(b a) → 'b a','c d','d b' x2
+    assert got[0]["top_gram"] == "b a" and got[0]["top_count"] == 2
+    # doc1 grams: (z y)(y z)(z y)(y z) → tie 2-2 → 'y z'
+    assert got[1]["top_gram"] == "y z" and got[1]["top_count"] == 2
