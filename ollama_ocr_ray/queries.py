@@ -402,6 +402,21 @@ def q_extract_multi(sf_dir: str):
     return _digest_parity(fused, _oracle_digests(sf_dir, "multi"))
 
 
+def q_extract_text_oracle(sf_dir: str):
+    """Default-policy parity vs the independent sequential oracle —
+    closes the extraction verification chain in the driver file:
+    oracle ↔ fused here (text policy), fused ↔ canonical in
+    ``extract_parity``, so both physical plans are transitively checked
+    against the oracle on every driver run (not just in pytest)."""
+    from .pipelines.extract import fused_pipeline
+
+    fused = fused_pipeline(_read_corpus(sf_dir),
+                           concurrency=(4, 8)).map_batches(
+        _spans_digest, batch_format="pyarrow"
+    )
+    return _digest_parity(fused, _oracle_digests(sf_dir, "text"))
+
+
 def q_extract_structured(sf_dir: str):
     """Structured-extraction parity (R7) as a driver-checkable gate:
     receipt-schema JSON spans digest-compared against the independent
@@ -1042,6 +1057,7 @@ def queries() -> dict:
         "extract_fused": q_extract_fused,
         "extract_parity": q_extract_parity,
         "extract_multi": q_extract_multi,
+        "extract_text_oracle": q_extract_text_oracle,
         "extract_structured": q_extract_structured,
         "structured_receipts": q_structured_receipts,
         "minhash_dedup": q_minhash_dedup,
@@ -1642,6 +1658,11 @@ def _base_oracles() -> dict:
             WHERE FALSE
         """,
         "extract_multi": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS reason
+            WHERE FALSE
+        """,
+        "extract_text_oracle": """
             SELECT CAST(NULL AS VARCHAR) AS doc_id,
                    CAST(NULL AS VARCHAR) AS reason
             WHERE FALSE
