@@ -224,3 +224,33 @@ def test_curate_run_and_resume(ray_session, docs_shards, tmp_path, capsys):
     # a different sample seed re-runs ONLY the finalize pass
     s4 = run_curate(docs_shards, out, sample_k=5, sample_seed=8)
     assert s4["partitions_run"] == 0 and s4["finalized"] is True
+
+
+def test_prep_append_new_partition(ray_session, docs_shards, tmp_path):
+    """Appending an input file to a finished prep export reruns ONLY the
+    new partition + the finalize pass (the incremental-ingest claim of
+    the two-phase design)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.runner import run_prep
+
+    src = str(tmp_path / "src")
+    shutil.copytree(docs_shards, src)
+    out = str(tmp_path / "prep")
+    s1 = run_prep(src, out, wave=2)
+    assert s1["status"] == "done" and s1["partitions_total"] == 4
+
+    # append: re-shard one file under a new name sorting LAST so the
+    # existing pid->file mapping is unchanged
+    files = sorted(os.listdir(src))
+    shutil.copy(os.path.join(src, files[0]),
+                os.path.join(src, "docs-99-extra.parquet"))
+    s2 = run_prep(src, out, wave=2)
+    assert s2["partitions_total"] == 5
+    assert s2["partitions_skipped"] == 4 and s2["partitions_run"] == 1
+    assert s2["finalized"] is True
+    # the duplicated shard's docs dedup away: same rows as before
+    assert s2["rows_kept"] == s1["rows_kept"]
+    assert rd.read_parquet(s2["data_dir"]).count() == s1["rows_kept"]
