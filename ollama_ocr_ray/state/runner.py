@@ -107,43 +107,46 @@ def _run_partition(
     return record
 
 
-def _annotate_partition(
-    pid: int,
-    input_file: str,
-    manifest: Manifest,
-    fingerprint: str,
-    *,
-    make_annotator,
-    record_extra: dict,
-) -> dict:
-    """Annotate+gate ONE input file and commit it atomically.
+def _annotate_file_task(input_file: str, tmp_dir: str, make_annotator,
+                        batch_rows: int = 16384) -> int:
+    """Annotate+gate ONE input file inside a single Ray TASK.
 
-    This is the expensive, text-reading phase (fingerprint + lang-ID +
-    gate kernels over every byte of text), so it is the resumable unit;
-    the later global finalize pass reads only the scalar output
-    columns."""
-    import ray.data as rd
+    Deliberately NOT a Ray Data pipeline: a per-file streaming executor
+    costs ~0.4-0.5 s of fixed setup/dispatch, and — measured on this
+    host — that cost GROWS with cluster size (200 small files at
+    num_cpus=32 ran 2x SLOWER than at 8 through per-file Datasets,
+    while one task per file scales linearly; BASELINE.md r3 'annotate
+    phase' note).  The partition is already the parallelism unit, the
+    stage is map-only, and ``ParquetFile.iter_batches`` bounds memory
+    to one batch — the Dataset machinery buys nothing here.  This is
+    the sanctioned raw-task escape hatch: a per-file commit unit the
+    Dataset API cannot express without paying per-file executors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    ds = rd.read_parquet([input_file], columns=["doc_id", "text"])
-    ann = ds.map_batches(make_annotator(), batch_format="pyarrow")
-    part_dir = manifest.part_dir(pid)
-    tmp_dir = os.path.join(manifest.output_dir, f"_tmp-part-{pid:05d}")
-    for stale in (tmp_dir, part_dir):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)  # uncommitted leftovers from a killed run
-    ann.write_parquet(tmp_dir)
-    os.replace(tmp_dir, part_dir)
-    import pyarrow.dataset as pads
-
-    kept = pads.dataset(part_dir).count_rows()
-    record = {
-        "input_file": os.path.abspath(input_file),
-        "input_fingerprint": fingerprint,
-        "docs_kept": kept,
-        **record_extra,
-    }
-    manifest.commit(pid, record)
-    return record
+    ann = make_annotator()
+    os.makedirs(tmp_dir, exist_ok=True)
+    out_path = os.path.join(tmp_dir, "part-0.parquet")
+    pf = pq.ParquetFile(input_file)
+    writer = None
+    kept = 0
+    try:
+        for rb in pf.iter_batches(batch_size=batch_rows,
+                                  columns=["doc_id", "text"]):
+            t = ann(pa.Table.from_batches([rb]))
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, t.schema)
+            writer.write_table(t)
+            kept += t.num_rows
+        if writer is None:  # empty input file: still commit the schema
+            t = ann(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                              "text": pa.array([], type=pa.string())}))
+            writer = pq.ParquetWriter(out_path, t.schema)
+            writer.write_table(t)
+    finally:
+        if writer is not None:
+            writer.close()
+    return kept
 
 
 def _run_two_phase(
@@ -183,7 +186,9 @@ def _run_two_phase(
     cost is bounded by one partition plus the finalize pass.
     ``max_partitions`` bounds phase-1 work (the kill-simulation hook);
     when partitions remain pending the summary reports
-    ``status="partial"`` and finalize is skipped.
+    ``status="partial"`` and finalize is skipped.  ``wave`` is accepted
+    for CLI compatibility but unused: annotate partitions run as plain
+    Ray tasks, so Ray schedules parallelism = cluster CPUs directly.
     """
     import hashlib
     import json
@@ -206,17 +211,42 @@ def _run_two_phase(
     if max_partitions is not None:
         pending = pending[:max_partitions]
     if pending:
-        with ThreadPoolExecutor(max_workers=max(1, wave)) as pool:
-            futs = [
-                pool.submit(
-                    _annotate_partition, pid, f, manifest, fps[pid],
-                    make_annotator=make_annotator,
-                    record_extra=record_extra or {},
-                )
-                for pid, f in pending
-            ]
-            for fut in futs:
-                fut.result()
+        # one Ray task per partition (see _annotate_file_task for why
+        # not per-file Datasets); Ray schedules parallelism = cluster
+        # CPUs, so no wave/thread machinery is needed.  The tmp-write →
+        # rename → manifest commit happens DRIVER-side on completion,
+        # keeping the manifest single-writer and the crash window
+        # identical to the extract runner's.
+        import ray
+
+        task = ray.remote(num_cpus=1)(_annotate_file_task)
+        refs = {}
+        for pid, f in pending:
+            part_dir = manifest.part_dir(pid)
+            tmp_dir = os.path.join(manifest.output_dir,
+                                   f"_tmp-part-{pid:05d}")
+            for stale in (tmp_dir, part_dir):
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)  # leftovers from a killed run
+            refs[task.remote(f, tmp_dir, make_annotator)] = (pid, f)
+        while refs:
+            # drain every ready task per round (one wait RTT per task
+            # serialized the commit loop on 200-tiny-file inputs)
+            done_refs, _ = ray.wait(
+                list(refs), num_returns=min(len(refs), 64), timeout=1.0
+            )
+            for ref in done_refs:
+                pid, f = refs.pop(ref)
+                kept = ray.get(ref)
+                tmp_dir = os.path.join(manifest.output_dir,
+                                       f"_tmp-part-{pid:05d}")
+                os.replace(tmp_dir, manifest.part_dir(pid))
+                manifest.commit(pid, {
+                    "input_file": os.path.abspath(f),
+                    "input_fingerprint": fps[pid],
+                    "docs_kept": kept,
+                    **(record_extra or {}),
+                })
     summary = {
         "job": job,
         "partitions_total": len(files),
