@@ -848,6 +848,19 @@ def q_prep_corpus(sf_dir: str):
     return prep_corpus(ds, quality_threshold=0.01)
 
 
+def q_pack_stats(sf_dir: str):
+    """Sequence packing (fixed-capacity training-example construction)
+    as a driver-checkable invariant gate: greedy assignment is not
+    SQL-expressible, so the gate verifies what defines a correct
+    packing — every doc packed exactly once, capacity respected,
+    pack count near the token lower bound (the ``approx_users``
+    boolean pattern)."""
+    from .functions.packing import pack_invariants
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=8)
+    return pack_invariants(ds, capacity=2048)
+
+
 def q_curate_corpus(sf_dir: str):
     """Composed training-mix job (round-3 flagship composition): gate
     (quality + Gopher top-2-gram repetition) → annotate → exact-dedup →
@@ -1041,6 +1054,7 @@ def queries() -> dict:
         "scrub_pii": q_scrub_pii,
         "prep_corpus": q_prep_corpus,
         "curate_corpus": q_curate_corpus,
+        "pack_stats": q_pack_stats,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
         "nation_rollup": q_nation_rollup,
@@ -1671,6 +1685,16 @@ def _base_oracles() -> dict:
             SELECT CAST(NULL AS VARCHAR) AS doc_id,
                    CAST(NULL AS VARCHAR) AS reason
             WHERE FALSE
+        """,
+        # sequence-packing invariant gate (greedy assignment is not
+        # SQL-expressible; the booleans are the contract): n_docs is
+        # recomputed by the oracle, the invariants are asserted TRUE
+        "pack_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(TRUE AS BOOLEAN) AS all_docs_packed_once,
+                   CAST(TRUE AS BOOLEAN) AS capacity_respected,
+                   CAST(TRUE AS BOOLEAN) AS pack_count_near_optimal
+            FROM documents
         """,
         # media plumbing determinism gate: the query runs the feature
         # pipeline twice and digest-compares (decode is the documented

@@ -640,3 +640,46 @@ def test_scrub_pii_planted():
     assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 2
     assert out[1]["clean_text"] == "call <PHONE> or <PHONE> today"
     assert out[2]["clean_text"] == "no pii here"
+
+
+def test_pack_block_properties():
+    """Next-fit-decreasing block packing: every doc exactly once,
+    capacity respected for non-overflow packs, oversized docs solo."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ollama_ocr_ray.functions.packing import pack_block
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join("tok" for _ in range(int(k)))
+             for k in rng.integers(0, 120, size=60)]
+    texts.append(" ".join("tok" for _ in range(5000)))  # oversized
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = pack_block(batch, capacity=100).to_pylist()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(texts)))
+    loads = {}
+    for r in out:
+        loads.setdefault(r["pack_id"], []).append(r)
+    for rows in loads.values():
+        if any(r["overflow"] for r in rows):
+            assert len(rows) == 1
+        else:
+            assert sum(r["n_tokens"] for r in rows) <= 100
+
+
+def test_pack_invariants_gate(ray_session):
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.packing import pack_invariants
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=4)
+    got = pack_invariants(ds, capacity=512).to_pylist()[0]
+    assert got["n_docs"] > 0
+    assert got["all_docs_packed_once"] is True
+    assert got["capacity_respected"] is True
+    assert got["pack_count_near_optimal"] is True
