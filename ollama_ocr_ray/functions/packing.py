@@ -4,7 +4,9 @@ LLM pretraining concatenates documents into fixed-length sequences
 ("packing"): each training example is a bin of whole documents whose
 token counts sum to at most the context length.  This operator assigns
 every document a ``pack_id`` using next-fit-decreasing WITHIN each
-input block:
+input block (pack ids are made globally unique with zero exchange by
+offsetting with the block's MIN doc_id — collision-free because blocks
+partition the rows, so their doc_id sets are disjoint):
 
 1. count tokens per doc (the repo's BPE-ish RE2 pattern, one Arrow
    kernel);
@@ -14,18 +16,17 @@ input block:
 
 Block-local packing is the scale-correct choice: packing quality is a
 LOCAL property (waste per bin), so there is nothing to gain from a
-global exchange — pack ids are made globally unique by offsetting with
-a per-block hash of the block's doc_ids.  Oversized documents (more
-tokens than the capacity) become solo packs flagged ``overflow`` (the
-downstream tokenizer truncates or splits; this operator never drops a
-document).
+global exchange.  Oversized documents (more tokens than the capacity)
+become solo packs flagged ``overflow`` (the downstream tokenizer
+truncates or splits; this operator never drops a document).
 
 Packing is a stateful greedy assignment, not SQL-expressible, so the
 driver gate is the ``approx_users`` boolean pattern: ``pack_stats``
-verifies the invariants that define correct packing — every document
-packed exactly once, no non-overflow pack exceeding capacity, and
-total packs within 30% of the ``ceil(total_tokens / C)`` lower bound —
-and emits booleans the SQL oracle asserts TRUE.
+verifies invariants that hold for every correct next-fit packing —
+every document packed exactly once (checked GLOBALLY, one exchange on
+the gate only), no non-overflow pack exceeding capacity, and total
+packs within next-fit's worst-case guarantee of ``2 x ceil(tokens/C)``
+(+ per-block tails) — and emits booleans the SQL oracle asserts TRUE.
 """
 
 from __future__ import annotations
@@ -104,12 +105,23 @@ def pack_sequences(docs, *, capacity: int = 2048):
 
 
 def pack_invariants(docs, *, capacity: int = 2048) -> pa.Table:
-    """Driver-checkable packing gate: booleans over the invariants that
-    define a correct packing (each doc exactly once; non-overflow packs
-    within capacity; pack count ≤ 1.3 x the theoretical lower bound +
-    the unavoidable per-block rounding).  Aggregated with one pass over
-    the packed rows + exact per-pack sums via a block-local groupby on
-    pack_id (pack ids never span blocks by construction)."""
+    """Driver-checkable packing gate: booleans over invariants that
+    hold for EVERY correct next-fit packing.
+
+    - ``all_docs_packed_once``: exact GLOBAL distinct count of packed
+      doc_ids equals the row count — cross-block duplicates (corrupt
+      input, which would also collide the min-doc_id pack-key space)
+      fail the gate.  This is the gate's one exchange; the packing
+      operator itself stays exchange-free, and a verification pass is
+      allowed to pay for exactness.
+    - ``capacity_respected``: per-pack loads via a block-local fold
+      (pack ids never span blocks by construction).
+    - ``pack_count_within_2x``: next-fit's worst-case guarantee —
+      adjacent bins sum above capacity, so per block
+      ``packs <= 2*tokens/C + 2``; summed: ``2*lower + 2*blocks + 2``.
+      (A 1.3x bound is NOT an invariant: a corpus of ~0.55*C-token
+      docs packs one per bin, validly and optimally, at ~2x the token
+      lower bound.)"""
     packed = pack_sequences(docs, capacity=capacity)
 
     def block_stats(batch: pa.Table) -> pa.Table:
@@ -140,14 +152,8 @@ def pack_invariants(docs, *, capacity: int = 2048) -> pa.Table:
                     [int(normal.max()) if len(normal) else 0],
                     type=pa.int64(),
                 ),
-                "dup_docs": pa.array(
-                    [int(len(ids) - len(np.unique(ids)))],
-                    type=pa.int64(),
-                ),
             }
         )
-
-    import pyarrow as _pa
 
     parts = packed.map_batches(block_stats, batch_size=None,
                                batch_format="pyarrow",
@@ -156,20 +162,23 @@ def pack_invariants(docs, *, capacity: int = 2048) -> pa.Table:
     tokens = sum(r["tokens"] for r in parts)
     packs = sum(r["packs"] for r in parts)
     max_load = max((r["max_load"] for r in parts), default=0)
-    dup = sum(r["dup_docs"] for r in parts)
     n_blocks = len(parts)
+    # global exactly-once: distinct doc_ids == packed rows (the gate's
+    # one exchange; in-block-only dup detection missed cross-block
+    # duplicates, which would also collide pack-key spaces)
+    n_distinct = packed.select_columns(["doc_id"]).groupby(
+        "doc_id"
+    ).count().count()
     lower = -(-tokens // capacity) if capacity else 0
-    # each block wastes at most one partial bin per block beyond NFD's
-    # own overhead; 1.3x + blocks covers both at any corpus size
-    bound = int(1.3 * lower) + n_blocks + 1
-    return _pa.table(
+    bound = 2 * lower + 2 * n_blocks + 2
+    return pa.table(
         {
-            "n_docs": _pa.array([docs_n], type=_pa.int64()),
-            "all_docs_packed_once": _pa.array([dup == 0],
-                                              type=_pa.bool_()),
-            "capacity_respected": _pa.array([max_load <= capacity],
-                                            type=_pa.bool_()),
-            "pack_count_near_optimal": _pa.array([packs <= bound],
-                                                 type=_pa.bool_()),
+            "n_docs": pa.array([docs_n], type=pa.int64()),
+            "all_docs_packed_once": pa.array([n_distinct == docs_n],
+                                             type=pa.bool_()),
+            "capacity_respected": pa.array([max_load <= capacity],
+                                           type=pa.bool_()),
+            "pack_count_within_2x": pa.array([packs <= bound],
+                                             type=pa.bool_()),
         }
     )

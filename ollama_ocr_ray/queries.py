@@ -387,19 +387,25 @@ def _oracle_digests(sf_dir: str, policy: str):
     return _read_corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
-def q_extract_multi(sf_dir: str):
-    """Mode-dispatch parity (R4/R9) as a driver-checkable gate
-    (VERDICT r2 #4): the fused 'multi' plan (each media span fans into
-    3 ordered sub-spans) digest-compared against the independent
-    sequential oracle run over the same corpus; expected empty, so the
-    SQL oracle is the empty table."""
+def _policy_oracle_gate(sf_dir: str, policy: str):
+    """Fused plan under ``policy`` digest-compared against the
+    independent sequential oracle over the same corpus; expected empty,
+    so the SQL oracle is the empty table (shared body of the three
+    policy-parity gates)."""
     from .pipelines.extract import fused_pipeline
 
-    fused = fused_pipeline(_read_corpus(sf_dir), policy="multi",
+    fused = fused_pipeline(_read_corpus(sf_dir), policy=policy,
                            concurrency=(4, 8)).map_batches(
         _spans_digest, batch_format="pyarrow"
     )
-    return _digest_parity(fused, _oracle_digests(sf_dir, "multi"))
+    return _digest_parity(fused, _oracle_digests(sf_dir, policy))
+
+
+def q_extract_multi(sf_dir: str):
+    """Mode-dispatch parity (R4/R9) as a driver-checkable gate
+    (VERDICT r2 #4): the fused 'multi' plan (each media span fans into
+    3 ordered sub-spans) vs the sequential oracle."""
+    return _policy_oracle_gate(sf_dir, "multi")
 
 
 def q_extract_text_oracle(sf_dir: str):
@@ -408,26 +414,13 @@ def q_extract_text_oracle(sf_dir: str):
     oracle ↔ fused here (text policy), fused ↔ canonical in
     ``extract_parity``, so both physical plans are transitively checked
     against the oracle on every driver run (not just in pytest)."""
-    from .pipelines.extract import fused_pipeline
-
-    fused = fused_pipeline(_read_corpus(sf_dir),
-                           concurrency=(4, 8)).map_batches(
-        _spans_digest, batch_format="pyarrow"
-    )
-    return _digest_parity(fused, _oracle_digests(sf_dir, "text"))
+    return _policy_oracle_gate(sf_dir, "text")
 
 
 def q_extract_structured(sf_dir: str):
     """Structured-extraction parity (R7) as a driver-checkable gate:
-    receipt-schema JSON spans digest-compared against the independent
-    sequential oracle (see ``q_extract_multi``)."""
-    from .pipelines.extract import fused_pipeline
-
-    fused = fused_pipeline(_read_corpus(sf_dir), policy="structured",
-                           concurrency=(4, 8)).map_batches(
-        _spans_digest, batch_format="pyarrow"
-    )
-    return _digest_parity(fused, _oracle_digests(sf_dir, "structured"))
+    receipt-schema JSON spans vs the sequential oracle."""
+    return _policy_oracle_gate(sf_dir, "structured")
 
 
 def q_structured_receipts(sf_dir: str):
@@ -1693,7 +1686,7 @@ def _base_oracles() -> dict:
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(TRUE AS BOOLEAN) AS all_docs_packed_once,
                    CAST(TRUE AS BOOLEAN) AS capacity_respected,
-                   CAST(TRUE AS BOOLEAN) AS pack_count_near_optimal
+                   CAST(TRUE AS BOOLEAN) AS pack_count_within_2x
             FROM documents
         """,
         # media plumbing determinism gate: the query runs the feature

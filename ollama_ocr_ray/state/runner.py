@@ -229,6 +229,7 @@ def _run_two_phase(
                 if os.path.isdir(stale):
                     shutil.rmtree(stale)  # leftovers from a killed run
             refs[task.remote(f, tmp_dir, make_annotator)] = (pid, f)
+        failures = []
         while refs:
             # drain every ready task per round (one wait RTT per task
             # serialized the commit loop on 200-tiny-file inputs)
@@ -237,7 +238,15 @@ def _run_two_phase(
             )
             for ref in done_refs:
                 pid, f = refs.pop(ref)
-                kept = ray.get(ref)
+                try:
+                    kept = ray.get(ref)
+                except Exception as e:  # noqa: BLE001 - commit the rest
+                    # one corrupt file must not discard the other
+                    # partitions' finished work: keep draining and
+                    # committing, report all failures at the end (the
+                    # committed partitions are skipped on the rerun)
+                    failures.append((f, e))
+                    continue
                 tmp_dir = os.path.join(manifest.output_dir,
                                        f"_tmp-part-{pid:05d}")
                 os.replace(tmp_dir, manifest.part_dir(pid))
@@ -247,6 +256,12 @@ def _run_two_phase(
                     "docs_kept": kept,
                     **(record_extra or {}),
                 })
+        if failures:
+            raise RuntimeError(
+                f"{len(failures)} annotate partition(s) failed "
+                f"(others committed; rerun resumes): "
+                + "; ".join(f"{f}: {e}" for f, e in failures[:5])
+            )
     summary = {
         "job": job,
         "partitions_total": len(files),

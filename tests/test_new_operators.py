@@ -682,4 +682,23 @@ def test_pack_invariants_gate(ray_session):
     assert got["n_docs"] > 0
     assert got["all_docs_packed_once"] is True
     assert got["capacity_respected"] is True
-    assert got["pack_count_near_optimal"] is True
+    assert got["pack_count_within_2x"] is True
+
+
+def test_pack_invariants_catch_cross_block_duplicates(ray_session):
+    """Duplicate doc_ids ACROSS blocks (corrupt input that would also
+    collide pack-key spaces) fail the exactly-once gate (review fix:
+    the in-block-only check passed them silently)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.packing import pack_invariants
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(50)), type=pa.int64()),
+        "text": pa.array(["some tokens here"] * 50),
+    })
+    dup = rd.from_arrow(t).union(rd.from_arrow(t))
+    got = pack_invariants(dup, capacity=64).to_pylist()[0]
+    assert got["n_docs"] == 100
+    assert got["all_docs_packed_once"] is False

@@ -254,3 +254,30 @@ def test_prep_append_new_partition(ray_session, docs_shards, tmp_path):
     # the duplicated shard's docs dedup away: same rows as before
     assert s2["rows_kept"] == s1["rows_kept"]
     assert rd.read_parquet(s2["data_dir"]).count() == s1["rows_kept"]
+
+
+def test_prep_one_bad_partition_commits_others(ray_session, docs_shards,
+                                               tmp_path):
+    """A corrupt input file fails ITS partition but every other
+    completed partition still commits (review fix: the drain loop must
+    not abort on the first task error); fixing the file resumes with
+    only that partition."""
+    import shutil
+
+    from ollama_ocr_ray.state.runner import run_prep
+
+    src = str(tmp_path / "src")
+    shutil.copytree(docs_shards, src)
+    good = os.path.join(src, sorted(os.listdir(src))[0])
+    bad = os.path.join(src, "docs-98-bad.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"this is not parquet")
+    out = str(tmp_path / "prep")
+    with pytest.raises(RuntimeError, match="1 annotate partition"):
+        run_prep(src, out)
+    m = Manifest(os.path.join(out, "annotated"))
+    assert len(m.records()) == 4  # the 4 good shards committed
+    shutil.copy(good, bad)  # "fix" the corrupt file
+    s = run_prep(src, out)
+    assert s["partitions_run"] == 1 and s["partitions_skipped"] == 4
+    assert s["status"] == "done"
