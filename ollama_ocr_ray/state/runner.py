@@ -1,13 +1,21 @@
-"""Resumable partitioned extraction runner.
+"""Resumable partitioned runners (extract, prep, curate).
 
-Partition unit = one input data file of the documents table.  Each
-partition runs the extraction pipeline as its own (internally parallel)
-Dataset execution and commits atomically: output → ``_tmp`` dir →
-rename → manifest record.  ``wave`` partitions execute concurrently
-(each streaming execution submits Ray tasks; the scheduler interleaves
-them), so the cluster stays saturated while commits stay
-partition-granular.  A killed run resumes by fingerprint-matching the
-manifest and redoing only missing partitions (SURVEY.md §4.3).
+Partition unit = one input data file of the documents table; every
+partition commits atomically (output → ``_tmp`` dir → rename →
+manifest record) and a killed run resumes by fingerprint-matching the
+manifest, redoing only missing partitions (SURVEY.md §4.3).
+
+Two execution shapes, chosen by what the per-partition work needs:
+
+- **extract** (``run_extract``): each partition runs the extraction
+  pipeline as its own internally-parallel Dataset execution (actor
+  pools, salted splits, reassembly exchange); ``wave`` partitions run
+  concurrently so the cluster stays saturated.
+- **prep / curate annotate** (``_run_two_phase``): the per-partition
+  work is a map-only pass whose parallelism unit IS the partition, so
+  each runs as ONE plain Ray task (streaming parquet read inside the
+  task) — per-partition Dataset executors measurably anti-scale on
+  many-small-file inputs (BASELINE.md r3 'annotate phase').
 """
 
 from __future__ import annotations
