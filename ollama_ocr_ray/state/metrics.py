@@ -65,11 +65,22 @@ def gpu_snapshot() -> dict | None:
 
 class ResourceRecorder:
     """Lives INSIDE each OCR actor (constructed with it): accumulates
-    one sample per batch and pushes it to the sink without waiting.
+    one sample per batch and ships them to the sink without waiting.
+
+    Samples are BUFFERED locally and flushed when the buffer reaches
+    ``FLUSH_SAMPLES`` or is older than ``FLUSH_AGE_S`` — per-batch RPCs
+    would funnel every batch in the job into one zero-CPU actor, which
+    becomes the bottleneck exactly at the scale telemetry matters.  A
+    best-effort ``__del__`` flush catches the tail at actor teardown
+    (pool teardown precedes the runner's drain); losing a tail sample
+    degrades telemetry only, never data.
 
     ``sink`` is a ``MetricsSink`` actor handle (picklable through
     ``fn_constructor_kwargs``); None disables recording at the cost of
     a single ``if`` per batch."""
+
+    FLUSH_SAMPLES = 8
+    FLUSH_AGE_S = 2.0
 
     def __init__(self, sink=None, tag=None):
         self.sink = sink
@@ -78,6 +89,12 @@ class ResourceRecorder:
         self._last_cpu = time.process_time()
         self._gpu = None
         self._gpu_ts = -1e18
+        self._buf: list[dict] = []
+        # -inf: the FIRST sample always flushes immediately, so every
+        # actor is visible in the manifest even on jobs too short/fast
+        # to hit the size threshold (the teardown flush can race the
+        # runner's drain); steady state amortizes 8:1 / 2 s after that
+        self._last_flush = float("-inf")
 
     def _gpu_sample(self):
         now = time.monotonic()
@@ -100,8 +117,25 @@ class ResourceRecorder:
             "gpu": self._gpu_sample(),
         }
         self._last_cpu = cpu
+        self._buf.append(sample)
+        now = time.monotonic()
+        if (len(self._buf) >= self.FLUSH_SAMPLES
+                or now - self._last_flush >= self.FLUSH_AGE_S):
+            self.flush()
+
+    def flush(self) -> None:
+        if self.sink is None or not self._buf:
+            return
+        buf, self._buf = self._buf, []
+        self._last_flush = time.monotonic()
         # fire-and-forget: inference never blocks on telemetry
-        self.sink.push.remote(self.tag, [sample])
+        self.sink.push.remote(self.tag, buf)
+
+    def __del__(self):  # best-effort tail flush at actor teardown
+        try:
+            self.flush()
+        except Exception:  # noqa: BLE001 - telemetry only, never raise
+            pass
 
 
 def make_sink():

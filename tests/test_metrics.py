@@ -39,8 +39,10 @@ def test_recorder_pushes_per_batch(ray_session):
 
     sink = metrics.make_sink()
     rec = metrics.ResourceRecorder(sink, tag=7)
-    rec.record(n_rows=4, n_media=1, wall_ms=2.5)
-    rec.record(n_rows=6, n_media=0, wall_ms=1.0)
+    rec.record(n_rows=4, n_media=1, wall_ms=2.5)  # first: flushes now
+    rec.record(n_rows=6, n_media=0, wall_ms=1.0)  # second: buffered
+    assert len(rec._buf) == 1
+    rec.flush()
     got = ray.get(sink.drain.remote(7))
     assert len(got) == 2
     assert all(s["rss_mb"] > 1.0 and s["cpu_ms"] >= 0.0 for s in got)
