@@ -478,10 +478,10 @@ def ngram_band_rows(docs, *, k: int = 9, num_perm: int = 64, bands: int = 16,
             pows = self._POW
             lengths = np.empty(len(texts), dtype=np.int64)
             hs = []
+            from .text import codepoints_of
+
             for i, t in enumerate(texts):
-                cps = np.frombuffer(
-                    t.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.uint64)
+                cps = codepoints_of(t).astype(np.uint64)
                 if len(cps) >= k:
                     win = np.lib.stride_tricks.sliding_window_view(cps, k)
                     h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)

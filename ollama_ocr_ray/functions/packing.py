@@ -122,7 +122,11 @@ def pack_invariants(docs, *, capacity: int = 2048) -> pa.Table:
       (A 1.3x bound is NOT an invariant: a corpus of ~0.55*C-token
       docs packs one per bin, validly and optimally, at ~2x the token
       lower bound.)"""
-    packed = pack_sequences(docs, capacity=capacity)
+    # materialize once: the gate consumes the packed rows twice (stats
+    # fold + global distinct) and re-executing the read + regex token
+    # count for the second pass would double the query's cost; the
+    # materialized rows are 4 scalar columns and spill if large
+    packed = pack_sequences(docs, capacity=capacity).materialize()
 
     def block_stats(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -131,8 +135,7 @@ def pack_invariants(docs, *, capacity: int = 2048) -> pa.Table:
                 {"docs": pa.array([], type=pa.int64()),
                  "tokens": pa.array([], type=pa.int64()),
                  "packs": pa.array([], type=pa.int64()),
-                 "max_load": pa.array([], type=pa.int64()),
-                 "dup_docs": pa.array([], type=pa.int64())}
+                 "max_load": pa.array([], type=pa.int64())}
             )
         pid = batch.column("pack_id").to_numpy(zero_copy_only=False)
         tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)

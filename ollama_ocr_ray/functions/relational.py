@@ -815,6 +815,15 @@ def assert_sorted_block_invariant(sorted_ds, key_cols: list[str]) -> int:
     blocks = []
     for i in range(0, len(rows) - 1, 2):
         lo, hi = rows[i], rows[i + 1]
+        # the __pos tags make the pairing self-validating: if row order
+        # ever stops being (min, max) adjacent per block, fail loudly
+        # instead of silently comparing wrong tuples
+        if lo["__pos"] != "min" or hi["__pos"] != "max":
+            raise AssertionError(
+                "bounds rows arrived unpaired/reordered "
+                f"(__pos = {lo['__pos']!r}, {hi['__pos']!r}); the "
+                "debug guard's row-order assumption no longer holds"
+            )
         blocks.append((tuple(lo[c] for c in key_cols),
                        tuple(hi[c] for c in key_cols)))
     blocks.sort()

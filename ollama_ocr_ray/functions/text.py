@@ -320,11 +320,19 @@ def _polyhash_segments(cp: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out
 
 
+def codepoints_of(text: str) -> np.ndarray:
+    """Unicode codepoints of ONE string as uint32 — one C pass (utf-32
+    encode + frombuffer), no Python loop over chars.  Shared by the
+    fingerprint chain and dedup's char-shingle hasher so surrogate
+    handling changes reach both.  (Lone surrogates raise
+    UnicodeEncodeError here, where a scalar ``ord()`` chain would
+    accept them; both call sites treat that as invalid input.)"""
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
 def _codepoints(texts: list[str]) -> np.ndarray:
-    """Concatenated unicode codepoints of ``texts`` as uint32 — one C
-    pass (utf-32 encode + frombuffer), no Python loop over chars."""
-    joined = "".join(texts)
-    return np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    """Concatenated codepoints of ``texts`` (see ``codepoints_of``)."""
+    return codepoints_of("".join(texts))
 
 
 def fingerprint_texts(texts: list[str]) -> np.ndarray:

@@ -64,7 +64,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ocr-batch-size", type=int, default=512)
     ap.add_argument("--ocr-concurrency", type=int, default=8)
     ap.add_argument("--wave", type=int, default=4,
-                    help="partitions executed concurrently")
+                    help="extract job: partitions executed concurrently "
+                         "(prep/curate schedule one Ray task per "
+                         "partition, so Ray owns their parallelism)")
     ap.add_argument("--max-partitions", type=int, default=None,
                     help="bound pending partitions this run (kill/resume testing)")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -86,6 +88,15 @@ def main(argv=None) -> int:
 
         DataContext.get_current().enable_progress_bars = False
         if args.job in ("prep", "curate"):
+            import sys
+
+            for flag, val, default in (("--model", args.model, None),
+                                       ("--plan", args.plan, "auto"),
+                                       ("--wave", args.wave, 4)):
+                if val != default:
+                    print(f"warning: {flag} applies to --job extract "
+                          f"only; ignored for --job {args.job}",
+                          file=sys.stderr)
             import os
             import shutil
 

@@ -35,8 +35,12 @@ def rss_mb() -> float:
             return float(int(f.read().split()[1]) * _PAGE_MB)
     except (OSError, ValueError, IndexError):
         import resource
+        import sys
 
-        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        # ru_maxrss is KiB on Linux but BYTES on macOS
+        return rss / (1024.0 * 1024.0) if sys.platform == "darwin" \
+            else rss / 1024.0
 
 
 def gpu_snapshot() -> dict | None:
