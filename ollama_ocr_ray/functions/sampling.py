@@ -150,3 +150,45 @@ def sample_stratified(docs, *, stratum_col: str = "lang", k: int = 20,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def mix_by_rate(docs, *, rates_bp: dict, default_bp: int = 10000,
+                seed: int = 0, source_col: str = "source"):
+    """Rate-based corpus mixing: keep each document with its source's
+    sampling rate — the Pile/Dolma-style mix step that up/down-weights
+    sources in a training corpus, as a deterministic hash filter.
+
+    A doc survives iff ``sample_keys(doc_id, seed) < M * bp // 10000``
+    for its source's rate in basis points.  Thresholds are EXACT
+    integer arithmetic (``(M * bp) // 10000`` in Python ints / DuckDB
+    HUGEINT) — a float ``rate * M`` would round differently across
+    engines at the boundary.  Pure per-block filter: no exchange, no
+    state, reproducible for a (corpus, seed) pair, and rates compose
+    with a later seed change for a fresh draw.
+    """
+    thresholds = {
+        src: np.uint64((_FP_MOD * int(bp)) // 10000)
+        for src, bp in rates_bp.items()
+    }
+    default_thr = np.uint64((_FP_MOD * int(default_bp)) // 10000)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = sample_keys(ids, seed)
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        dic = src.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        thr_of_code = np.array(
+            [thresholds.get(v, default_thr)
+             for v in dic.dictionary.to_pylist()],
+            dtype=np.uint64,
+        )
+        return batch.filter(pa.array(keys < thr_of_code[codes]))
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)

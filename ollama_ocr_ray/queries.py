@@ -604,6 +604,18 @@ def q_lang_sample(sf_dir: str):
                                       seed=9176, fan_in=4)
 
 
+def q_source_mix(sf_dir: str):
+    """Rate-based corpus mixing (Pile/Dolma-style source weighting):
+    deterministic hash filter keeping src0 at 100%, src1 at 50%, src2
+    at 25%, everything else at 12.5%.  Pure per-block filter — no
+    exchange, reproducible, exact-integer thresholds on both sides."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return sampling.mix_by_rate(
+        ds, rates_bp={"src0": 10000, "src1": 5000, "src2": 2500},
+        default_bp=1250, seed=2718,
+    )
+
+
 def q_brand_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
@@ -1035,6 +1047,7 @@ def queries() -> dict:
         "distinct_lang_source": q_distinct_lang_source,
         "docs_sample_mod": q_docs_sample_mod,
         "lang_sample": q_lang_sample,
+        "source_mix": q_source_mix,
         "brand_stats": q_brand_stats,
         "props_extract": q_props_extract,
         "band_join": q_band_join,
@@ -1392,6 +1405,31 @@ def _base_oracles() -> dict:
                    CAST(floor(CAST(c AS DOUBLE) / n2 * 10000 + 0.5)
                         AS BIGINT) AS top_2gram_frac_e4
             FROM ranked WHERE rn = 1
+        """,
+        # rate-based source mixing: same exact hash chain as
+        # lang_sample (sampling.SAMPLE_MULT, seed 2718); thresholds are
+        # integer (M * bp) // 10000 on BOTH sides — a float rate*M
+        # would round differently at the boundary
+        "source_mix": """
+            WITH keyed AS (
+              SELECT doc_id, source,
+                     (h1*h1 + h1) % 2305843009213693951 AS key,
+                     CASE source
+                       WHEN 'src0' THEN 10000
+                       WHEN 'src1' THEN 5000
+                       WHEN 'src2' THEN 2500
+                       ELSE 1250 END AS bp
+              FROM (
+                SELECT doc_id, source,
+                       (CAST(doc_id + 1 AS HUGEINT)
+                          * 1234567890123456789 + 2718)
+                         % 2305843009213693951 AS h1
+                FROM documents
+              )
+            )
+            SELECT doc_id, source FROM keyed
+            WHERE key < (CAST(2305843009213693951 AS HUGEINT) * bp)
+                          // 10000
         """,
         # line-level repetition: group the doc's lines by VALUE; the
         # engine's dictionary_encode factorization is the same exact
