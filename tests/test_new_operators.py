@@ -702,3 +702,40 @@ def test_pack_invariants_catch_cross_block_duplicates(ray_session):
     got = pack_invariants(dup, capacity=64).to_pylist()[0]
     assert got["n_docs"] == 100
     assert got["all_docs_packed_once"] is False
+
+
+def test_mix_by_rate_thresholds(ray_session):
+    """Rate-based mixing: bp=10000 keeps everything, bp=0 keeps
+    nothing, intermediate rates keep a deterministic stable subset at
+    roughly the requested fraction."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sampling import mix_by_rate
+
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "source": pa.array(
+            ["all", "none", "half", "rest"][i % 4] for i in range(n)
+        ),
+    })
+    rates = {"all": 10000, "none": 0, "half": 5000}
+    out1 = mix_by_rate(rd.from_arrow(t), rates_bp=rates, default_bp=2500,
+                       seed=5).take_all()
+    out2 = mix_by_rate(rd.from_arrow(t), rates_bp=rates, default_bp=2500,
+                       seed=5).take_all()
+    assert sorted(r["doc_id"] for r in out1) == \
+        sorted(r["doc_id"] for r in out2)  # deterministic
+    by_src = {}
+    for r in out1:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["all"] == n // 4
+    assert "none" not in by_src
+    assert abs(by_src["half"] - n // 8) < n // 16
+    assert abs(by_src["rest"] - n // 16) < n // 20
+    # a different seed draws a different (same-sized-ish) subset
+    out3 = mix_by_rate(rd.from_arrow(t), rates_bp=rates, default_bp=2500,
+                       seed=6).take_all()
+    assert sorted(r["doc_id"] for r in out3) != \
+        sorted(r["doc_id"] for r in out1)
