@@ -103,14 +103,20 @@ def _run_partition(
     if metrics_sink is not None:
         # drain THIS partition's actor resource samples (the write +
         # metrics read above give in-flight fire-and-forget pushes time
-        # to land; a straggler sample is dropped, never misattributed)
+        # to land; a straggler sample is dropped, never misattributed).
+        # Telemetry must never fail the job: a dead/unreachable sink
+        # degrades the record, not the commit.
         import ray
 
         from .metrics import aggregate_samples
 
-        record["resources"] = aggregate_samples(
-            ray.get(metrics_sink.drain.remote(pid))
-        )
+        try:
+            record["resources"] = aggregate_samples(
+                ray.get(metrics_sink.drain.remote(pid), timeout=30)
+            )
+        except Exception as e:  # noqa: BLE001 - telemetry only
+            record["resources"] = {"samples": 0,
+                                   "error": f"sink unavailable: {e}"}
     manifest.commit(pid, record)
     return record
 

@@ -67,3 +67,34 @@ def test_manifest_carries_resources(ray_session, tmp_path):
             assert res["rows"] > 0
             assert res["cpu_ms_total"] >= 0.0
             assert res["gpu_active"] is False  # sandbox has no GPU
+
+
+def test_dead_sink_degrades_not_fails(ray_session, tmp_path):
+    """A dead metrics sink must degrade the manifest record, never fail
+    the partition commit (telemetry is best-effort by contract)."""
+    import ray
+
+    from ollama_ocr_ray import synth
+    from ollama_ocr_ray.state import metrics
+    from ollama_ocr_ray.state.runner import _run_partition
+    from ollama_ocr_ray.state.manifest import Manifest
+
+    corpus = synth.write_corpus(str(tmp_path / "c"), 40, seed=13)
+    import os
+
+    f0 = sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )[0]
+    sink = metrics.make_sink()
+    ray.kill(sink)
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    rec = _run_partition(
+        0, f0, Manifest(out), plan="fused", ocr_burn=0, ocr_latency_ms=0,
+        ocr_batch_size=64, ocr_concurrency=1, policy="text",
+        metrics_sink=sink,
+    )
+    assert rec["docs"] > 0
+    assert rec["resources"]["samples"] == 0
+    assert "sink unavailable" in rec["resources"]["error"]
