@@ -106,10 +106,15 @@ class TrOCRModel:
     ``generate()`` per payload batch."""
 
     def __init__(self, model_name: str = "microsoft/trocr-base-handwritten",
-                 device: str | None = None, max_new_tokens: int = 128):
+                 device: str | None = None, max_new_tokens: int = 128,
+                 max_batch: int = 16):
         self.model_name = model_name
         self.device = device
         self.max_new_tokens = max_new_tokens
+        # device-memory bound: the OCR stage may hand this adapter a
+        # whole Arrow batch (hundreds of payloads); generate() runs in
+        # max_batch-image chunks so a big batch never OOMs the device
+        self.max_batch = max(1, int(max_batch))
         self._bundle = None
 
     def _ensure_loaded(self):
@@ -135,17 +140,20 @@ class TrOCRModel:
 
     def __call__(self, payloads: list) -> list[str]:
         torch, processor, model, device = self._ensure_loaded()
-        if not payloads:
-            return []
-        images = [_decode_image(p) for p in payloads]
-        with torch.no_grad():
-            pixel_values = processor(
-                images=images, return_tensors="pt"
-            ).pixel_values.to(device)
-            ids = model.generate(pixel_values,
-                                 max_new_tokens=self.max_new_tokens)
-        return [t.strip() for t in
-                processor.batch_decode(ids, skip_special_tokens=True)]
+        out: list[str] = []
+        for lo in range(0, len(payloads), self.max_batch):
+            images = [_decode_image(p)
+                      for p in payloads[lo:lo + self.max_batch]]
+            with torch.no_grad():
+                pixel_values = processor(
+                    images=images, return_tensors="pt"
+                ).pixel_values.to(device)
+                ids = model.generate(pixel_values,
+                                     max_new_tokens=self.max_new_tokens)
+            out.extend(t.strip() for t in
+                       processor.batch_decode(ids,
+                                              skip_special_tokens=True))
+        return out
 
 
 class OllamaModel:
