@@ -1,3 +1,5 @@
-from .extract import extract_pipeline, fused_pipeline, summary_table
+from .extract import (auto_pipeline, choose_plan, extract_pipeline,
+                      fused_pipeline, summary_table)
 
-__all__ = ["extract_pipeline", "fused_pipeline", "summary_table"]
+__all__ = ["auto_pipeline", "choose_plan", "extract_pipeline",
+           "fused_pipeline", "summary_table"]
