@@ -14,6 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray.data
+
 
 def _cents(col) -> pa.Array:
     """floor(x*100 + 0.5) as int64 — exactly mirrors the SQL oracle."""
@@ -143,19 +145,22 @@ def events_hourly(events):
     """Tumbling 1-hour windows per event_type: row count, distinct
     users, exact sum(value) via 1e6 scaling.
 
-    Sorted-block segment pass (VERDICT r2 #2): each map batch first
-    pre-aggregates to one row per (event_type, window, user) — count +
-    value partials — so repeated (window, user) activity collapses
-    before the exchange; ONE sort co-locates each window's rows, and a
-    single vectorized block pass folds every window in the block (no
-    per-group Python calls; round 1 proved per-group ``map_groups`` is
-    the dominant cost at millions of windows).  Distinct-user exact
-    counting still ships one row per (window, user) — the scale path
-    swaps in the HLL partial (``sketches.approx_users``); exact is the
-    oracle-checkable variant.  Relies on the sorted-block invariant
-    (equal sort keys don't split across sort-output blocks), documented
-    at ``hash_join``.
+    Exact-by-construction double groupby (ADVICE r3 medium: the r3
+    sorted-block fold assumed equal (event_type, window) keys never
+    split across sort-output blocks — false for low-cardinality
+    composite keys, the repo's own measured fact).  ``groupby`` itself
+    is partition-exact (boundary assignment is by key value, and the
+    aggregation runs per PARTITION before any size-based block split),
+    so the plan is: per-batch pre-aggregate to (type, window, user)
+    partials → groupby on that triple collapses each user to exactly
+    one row globally → per-block pre-count → groupby on (type, window)
+    sums counts.  Both exchanges carry pre-aggregated scalar rows only.
+    Distinct-user exact counting still ships one row per (window,
+    user) into the first exchange — the scale path swaps in the HLL
+    partial (``sketches.approx_users``); exact is the oracle-checkable
+    variant.
     """
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -176,62 +181,74 @@ def events_hourly(events):
             [("value_micro", "sum"), ("one", "sum")]
         )
 
-    rows = events.map_batches(partial, batch_format="pyarrow")
+    # exactly one row per (type, window, user) after this exchange
+    per_user = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start", "user_id"])
+        .aggregate(
+            Sum("value_micro_sum", alias_name="micro"),
+            Sum("one_sum", alias_name="n"),
+        )
+    )
+
+    mid_schema = pa.schema(
+        [("event_type", pa.string()), ("window_start", pa.int64()),
+         ("micro_sum", pa.int64()), ("n_sum", pa.int64()),
+         ("one_user_sum", pa.int64())]
+    )
+
+    def count_users(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return mid_schema.empty_table()
+        batch = batch.combine_chunks()
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": batch.column("window_start"),
+                "micro": batch.column("micro"),
+                "n": batch.column("n"),
+                "one_user": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("micro", "sum"), ("n", "sum"), ("one_user", "sum")]
+        ).select(mid_schema.names).cast(mid_schema)
+
+    agg = (
+        per_user.map_batches(count_users, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("micro_sum", alias_name="micro"),
+            Sum("n_sum", alias_name="n_events"),
+            Sum("one_user_sum", alias_name="n_users"),
+        )
+    )
+
     out_schema = pa.schema(
         [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
          ("n_events", pa.int64()), ("n_users", pa.int64()),
          ("sum_value", pa.float64())]
     )
 
-    def fold_block(batch: pa.Table) -> pa.Table:
+    def finalize(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return out_schema.empty_table()
         batch = batch.combine_chunks()
-        idx = pc.sort_indices(
-            batch,
-            sort_keys=[("event_type", "ascending"),
-                       ("window_start", "ascending"),
-                       ("user_id", "ascending")],
-        )
-        batch = batch.take(idx).combine_chunks()
-        # dictionary codes so segment detection compares int8/16, not strings
-        et_codes = (
-            batch.column("event_type").chunk(0).dictionary_encode()
-            .indices.to_numpy(zero_copy_only=False)
-        )
-        win = np.asarray(batch.column("window_start"))
-        uid = np.asarray(batch.column("user_id"))
-        micro = np.asarray(batch.column("value_micro_sum"))
-        cnt = np.asarray(batch.column("one_sum"))
-        from .dedup import _segment_bounds
-
-        starts, _ = _segment_bounds(et_codes, win)
-        # a row opens a new distinct user iff it starts a segment or its
-        # user differs from the previous row (rows are (key, user)-sorted)
-        new_user = np.ones(len(uid), dtype=np.int64)
-        new_user[1:] = (
-            (et_codes[1:] != et_codes[:-1])
-            | (win[1:] != win[:-1])
-            | (uid[1:] != uid[:-1])
-        ).astype(np.int64)
         return pa.table(
             {
-                "event_type": batch.column("event_type").take(pa.array(starts)),
+                "event_type": batch.column("event_type"),
                 "window_start": batch.column("window_start")
-                .take(pa.array(starts)).cast(pa.timestamp("us")),
-                "n_events": pa.array(np.add.reduceat(cnt, starts),
-                                     type=pa.int64()),
-                "n_users": pa.array(np.add.reduceat(new_user, starts),
-                                    type=pa.int64()),
-                "sum_value": pa.array(np.add.reduceat(micro, starts) / 1e6,
-                                      type=pa.float64()),
+                .cast(pa.timestamp("us")),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "n_users": batch.column("n_users").cast(pa.int64()),
+                "sum_value": pa.array(
+                    batch.column("micro").to_numpy(zero_copy_only=False) / 1e6,
+                    type=pa.float64(),
+                ),
             }
-        ).cast(out_schema)
+        )
 
-    return rows.sort(["event_type", "window_start"]).map_batches(
-        fold_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def order_priority_counts(orders, date_lo: str, date_hi: str):
@@ -520,25 +537,41 @@ def build_orders_by_cust(orders_table: pa.Table) -> dict:
     return out
 
 
+SESSION_OPEN_CAP = 4_000_000  # driver-side bound on boundary sessions
+
+
 def sessionize(events, gap_minutes: int = 30):
     """Gap-based sessionization per user: a session breaks when the
     inter-event gap exceeds ``gap_minutes``.  Output: one row per
     session.
 
-    Sorted-block segment pass (VERDICT r2 #2, replacing per-user
-    ``map_groups``): project to (user_id, ts:int64, value_micro), ONE
-    sort on user_id co-locates each user's events, then a single
-    vectorized pass per block computes all session breaks at once —
-    a break is a user change OR a gap over the threshold, so the
-    per-user loop disappears entirely.  Same plan shape as
-    ``asof_last_order_partitioned``'s merge; relies on the sorted-block
-    invariant documented at ``hash_join``.
+    Exact under block splits (ADVICE r3 medium).  Session windows form
+    a merging semilattice: sessionizing any time-contiguous pieces of a
+    user's events, then gap-merging the resulting intervals, yields the
+    same sessions as one global pass.  Plan: ONE sort on (user_id, ts)
+    makes every block a globally-ordered run; a vectorized block pass
+    emits locally-maximal sessions and marks each block's FIRST and
+    LAST session ``open`` (only those can merge with a neighbouring
+    block — interior sessions are already separated by a super-gap on
+    both sides within the block).  The session table is materialized
+    (it is the operator's OUTPUT size, far below the input), closed
+    rows stream through, and the open set — at most 2 rows per block,
+    capped at ``SESSION_OPEN_CAP`` with a loud error — is gap-merged
+    on the driver with one vectorized pass, then unioned back.  No
+    sorted-block invariant anywhere.
     """
     gap_us = gap_minutes * 60 * 1_000_000
     out_schema = pa.schema(
         [("user_id", pa.int64()), ("session_start", pa.timestamp("us")),
          ("session_end", pa.timestamp("us")), ("n_events", pa.int64()),
          ("sum_value", pa.float64())]
+    )
+    # internal fold schema: int64 timestamps + exact micro sums so the
+    # driver merge stays integer-exact; __open marks boundary sessions
+    fold_schema = pa.schema(
+        [("user_id", pa.int64()), ("start_us", pa.int64()),
+         ("end_us", pa.int64()), ("n_events", pa.int64()),
+         ("micro", pa.int64()), ("__open", pa.int8())]
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -556,7 +589,7 @@ def sessionize(events, gap_minutes: int = 30):
 
     def sessions_block(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
-            return out_schema.empty_table()
+            return fold_schema.empty_table()
         batch = batch.combine_chunks()
         idx = pc.sort_indices(
             batch, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
@@ -570,29 +603,113 @@ def sessionize(events, gap_minutes: int = 30):
         brk[1:] = (k[1:] != k[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
         starts = np.flatnonzero(brk)
         ends = np.concatenate([starts[1:], [n]])
+        is_open = np.zeros(len(starts), dtype=np.int8)
+        is_open[0] = 1
+        is_open[-1] = 1
         return pa.table(
             {
                 "user_id": pa.array(k[starts], type=pa.int64()),
-                "session_start": pa.array(ts[starts], type=pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "session_end": pa.array(ts[ends - 1], type=pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
+                "start_us": pa.array(ts[starts], type=pa.int64()),
+                "end_us": pa.array(ts[ends - 1], type=pa.int64()),
                 "n_events": pa.array(ends - starts, type=pa.int64()),
+                "micro": pa.array(np.add.reduceat(micro, starts),
+                                  type=pa.int64()),
+                "__open": pa.array(is_open),
+            }
+        ).cast(fold_schema)
+
+    def to_output(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "session_start": batch.column("start_us").cast(
+                    pa.timestamp("us")),
+                "session_end": batch.column("end_us").cast(pa.timestamp("us")),
+                "n_events": batch.column("n_events"),
                 "sum_value": pa.array(
-                    np.add.reduceat(micro, starts) / 1e6, type=pa.float64()
+                    batch.column("micro").to_numpy(zero_copy_only=False) / 1e6,
+                    type=pa.float64(),
                 ),
             }
         ).cast(out_schema)
 
-    return (
+    folded = (
         events.map_batches(project, batch_format="pyarrow",
                            zero_copy_batch=True)
-        .sort("user_id")
+        .sort(["user_id", "ts"])
         .map_batches(sessions_block, batch_size=None, batch_format="pyarrow",
                      zero_copy_batch=True)
+        .materialize()
     )
+
+    def keep_closed(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        return to_output(batch.filter(pc.equal(batch.column("__open"), 0)))
+
+    def keep_open(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return fold_schema.empty_table()
+        batch = batch.combine_chunks()
+        return batch.filter(pc.equal(batch.column("__open"), 1))
+
+    closed = folded.map_batches(keep_closed, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    open_rows = folded.map_batches(
+        keep_open, batch_format="pyarrow", zero_copy_batch=True
+    ).limit(SESSION_OPEN_CAP + 1).take_all()
+    if len(open_rows) > SESSION_OPEN_CAP:
+        raise RuntimeError(
+            f"sessionize: boundary-session set exceeds the driver cap "
+            f"({SESSION_OPEN_CAP} rows = 2 per sorted block); raise "
+            f"target_max_block_size or SESSION_OPEN_CAP"
+        )
+    merged = _merge_open_sessions(open_rows, gap_us)
+    return closed.union(
+        ray.data.from_arrow(to_output(merged))
+    )
+
+
+def _merge_open_sessions(open_rows: list[dict], gap_us: int) -> pa.Table:
+    """Gap-merge the boundary-session intervals (driver side, one
+    vectorized pass).  Input rows follow the ``sessionize`` fold
+    schema; intervals of one user are disjoint and, once sorted by
+    start, adjacent ones merge iff the gap is within threshold —
+    interval merging is associative, so this closes every cross-block
+    chain regardless of how many blocks a user spanned."""
+    fold_schema = pa.schema(
+        [("user_id", pa.int64()), ("start_us", pa.int64()),
+         ("end_us", pa.int64()), ("n_events", pa.int64()),
+         ("micro", pa.int64()), ("__open", pa.int8())]
+    )
+    if not open_rows:
+        return fold_schema.empty_table()
+    user = np.array([r["user_id"] for r in open_rows], dtype=np.int64)
+    start = np.array([r["start_us"] for r in open_rows], dtype=np.int64)
+    end = np.array([r["end_us"] for r in open_rows], dtype=np.int64)
+    n_ev = np.array([r["n_events"] for r in open_rows], dtype=np.int64)
+    micro = np.array([r["micro"] for r in open_rows], dtype=np.int64)
+    order = np.lexsort((start, user))
+    user, start, end = user[order], start[order], end[order]
+    n_ev, micro = n_ev[order], micro[order]
+    brk = np.ones(len(user), dtype=bool)
+    brk[1:] = (user[1:] != user[:-1]) | ((start[1:] - end[:-1]) > gap_us)
+    s = np.flatnonzero(brk)
+    e = np.concatenate([s[1:], [len(user)]])
+    return pa.table(
+        {
+            "user_id": pa.array(user[s], type=pa.int64()),
+            "start_us": pa.array(start[s], type=pa.int64()),
+            "end_us": pa.array(end[e - 1], type=pa.int64()),
+            "n_events": pa.array(np.add.reduceat(n_ev, s), type=pa.int64()),
+            "micro": pa.array(np.add.reduceat(micro, s), type=pa.int64()),
+            "__open": pa.array(np.zeros(len(s), dtype=np.int8)),
+        }
+    ).cast(fold_schema)
 
 
 PRICE_BANDS = [
@@ -849,8 +966,9 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
 
     Partitioning assumption (documented per the survey convention, and
     relied on by EVERY sorted-block kernel in this repo: ``anti_join``,
-    ``sessionize``, ``events_hourly``, ``asof_last_order_partitioned``,
-    ``top_unshipped_orders``, ``dedup._segment_bounds`` consumers):
+    ``asof_last_order_partitioned``, ``top_unshipped_orders``,
+    ``dedup._segment_bounds`` consumers — ``sessionize`` and
+    ``events_hourly`` no longer rely on it, see their docstrings):
     Ray's range-partitioned sort places equal keys in one block — the
     same invariant ``groupby`` relies on.  BOUND: this holds only while
     a sort-output block stays under ``DataContext.target_max_block_size``

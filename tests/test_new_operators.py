@@ -174,6 +174,64 @@ def test_sessionize_gap_splits(ray_session):
     assert rows[0]["sum_value"] == 3.0
 
 
+def test_merge_open_sessions_chain():
+    # a user whose locally-maximal sessions span THREE consecutive
+    # blocks must collapse to one session; a super-gap user stays split
+    gap_us = 30 * 60 * 1_000_000
+    m = 60 * 1_000_000  # one minute in us
+    rows = [
+        {"user_id": 1, "start_us": 0, "end_us": 10 * m,
+         "n_events": 2, "micro": 2_000_000, "__open": 1},
+        {"user_id": 1, "start_us": 20 * m, "end_us": 40 * m,
+         "n_events": 3, "micro": 3_000_000, "__open": 1},
+        {"user_id": 1, "start_us": 60 * m, "end_us": 65 * m,
+         "n_events": 1, "micro": 1_000_000, "__open": 1},
+        {"user_id": 2, "start_us": 0, "end_us": 5 * m,
+         "n_events": 1, "micro": 500_000, "__open": 1},
+        {"user_id": 2, "start_us": 100 * m, "end_us": 105 * m,
+         "n_events": 1, "micro": 500_000, "__open": 1},
+    ]
+    out = relational._merge_open_sessions(rows, gap_us).to_pylist()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert len(u1) == 1
+    assert u1[0]["start_us"] == 0 and u1[0]["end_us"] == 65 * m
+    assert u1[0]["n_events"] == 6 and u1[0]["micro"] == 6_000_000
+    assert len([r for r in out if r["user_id"] == 2]) == 2
+    assert relational._merge_open_sessions([], gap_us).num_rows == 0
+
+
+def test_sessionize_exact_when_user_run_splits_blocks(ray_session):
+    import ray.data as rd
+
+    # ADVICE r3 medium: sort on (user_id, ts) range-partitions by the
+    # COMPOSITE key, so one hot user's events land across many sorted
+    # blocks.  The old per-block fold emitted one bogus session per
+    # fragment; the open-session merge must reassemble exactly one.
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    n_hot = 5000
+    hot_ts = [base + np.timedelta64(5 * i, "m") for i in range(n_hot)]
+    # control user: three well-separated sessions of 2 events each
+    ctl_ts = [base + np.timedelta64(m, "m")
+              for m in (0, 5, 200, 205, 400, 405)]
+    events = pa.table(
+        {
+            "user_id": pa.array([1] * n_hot + [2] * len(ctl_ts),
+                                type=pa.int64()),
+            "ts": pa.array(hot_ts + ctl_ts),
+            "value": pa.array([1.0] * (n_hot + len(ctl_ts))),
+        }
+    )
+    ds = rd.from_arrow(events).repartition(20)
+    out = _collect(relational.sessionize(ds, gap_minutes=30)).to_pylist()
+    hot = [r for r in out if r["user_id"] == 1]
+    assert len(hot) == 1
+    assert hot[0]["n_events"] == n_hot
+    assert hot[0]["sum_value"] == float(n_hot)
+    ctl = sorted((r for r in out if r["user_id"] == 2),
+                 key=lambda r: r["session_start"])
+    assert [r["n_events"] for r in ctl] == [2, 2, 2]
+
+
 # --- n-gram Jaccard dedup ---------------------------------------------------
 
 
