@@ -898,6 +898,150 @@ def top_orders_per_segment(orders, customer_lookup: dict, n: int = 3):
     )
 
 
+def segment_revenue_join(orders, customer):
+    """Per-market-segment order totals with NO driver-side customer
+    state (VERDICT r3 #1: customer is fact-proportional — TPC-H 150k
+    rows x SF — so the ``segment_revenue`` broadcast dict stops scaling
+    at 100 TB).  Plan: per-batch pre-aggregate orders to (custkey,
+    cents, n) partials, co-partition them with customer's (custkey,
+    segment) via ``hash_join`` (one sort exchange over partial rows +
+    two key columns), then a tiny per-segment groupby.  Inner-join
+    semantics match the SQL oracle; keep the broadcast variant for
+    genuinely small dimensions (nation/region/supplier)."""
+    from ray.data.aggregate import Sum
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        t = pa.table(
+            {
+                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "cents": _cents(batch.column("o_totalprice")),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("c_custkey").aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+
+    partials = orders.map_batches(order_partial, batch_format="pyarrow")
+    joined = hash_join(
+        partials, customer, key="c_custkey",
+        left_cols=["cents_sum", "one_sum"], right_cols=["c_mktsegment"],
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [("c_mktsegment", pa.string()), ("cents_sum_sum", pa.int64()),
+                 ("one_sum_sum", pa.int64())]
+            ).empty_table()
+        batch = batch.combine_chunks()
+        t = batch.select(["c_mktsegment", "cents_sum", "one_sum"])
+        out = t.group_by("c_mktsegment").aggregate(
+            [("cents_sum", "sum"), ("one_sum", "sum")]
+        )
+        return out.select(["c_mktsegment", "cents_sum_sum", "one_sum_sum"])
+
+    agg = (
+        joined.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("cents_sum_sum", alias_name="cents"),
+            Sum("one_sum_sum", alias_name="n_orders"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": batch.column("n_orders").cast(pa.int64()),
+                "total_revenue": pa.array(
+                    batch.column("cents").to_numpy(zero_copy_only=False)
+                    / 100.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_orders_per_segment_join(orders, customer, n: int = 3):
+    """Grouped top-N per market segment with NO driver-side customer
+    dict (VERDICT r3 #1): co-partition orders' (custkey, orderkey,
+    cents) projection with customer via ``hash_join``, then per-batch
+    partial top-N per segment so the second exchange carries
+    N x segments x blocks rows into the final 5-group sort."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    joined = hash_join(
+        orders.map_batches(project, batch_format="pyarrow"), customer,
+        key="c_custkey", left_cols=["o_orderkey", "cents"],
+        right_cols=["c_mktsegment"],
+    )
+
+    partial_schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("o_orderkey", pa.int64()),
+         ("cents", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return partial_schema.empty_table()
+        batch = batch.combine_chunks()
+        seg = batch.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        out_s, out_k, out_c = [], [], []
+        for s in np.unique(seg):
+            m = seg == s
+            order = np.lexsort((keys[m], -cents[m]))[:n]
+            out_s.extend([s] * len(order))
+            out_k.extend(keys[m][order].tolist())
+            out_c.extend(cents[m][order].tolist())
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out_s, type=pa.string()),
+                "o_orderkey": pa.array(out_k, type=pa.int64()),
+                "cents": pa.array(out_c, type=pa.int64()),
+            }
+        ).cast(partial_schema)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    def final_group(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -cents))[:n]
+        return pa.table(
+            {
+                "c_mktsegment": group.column("c_mktsegment").take(
+                    pa.array(order)
+                ),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                "o_orderkey": pa.array(keys[order], type=pa.int64()),
+                "o_totalprice": pa.array(cents[order] / 100.0),
+            }
+        )
+
+    return partials.groupby("c_mktsegment").map_groups(
+        final_group, batch_format="pyarrow"
+    )
+
+
 # --- general large-x-large equi-join ----------------------------------------
 
 

@@ -19,12 +19,14 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--input", required=True, help="documents table dir/file")
     ap.add_argument("--output", required=True, help="output dir (resumable)")
-    ap.add_argument("--job", choices=["extract", "prep", "curate"],
+    ap.add_argument("--job", choices=["extract", "prep", "curate", "export"],
                     default="extract",
                     help="extract = resumable OCR extraction; prep = "
                          "annotate + quality gate + exact-dedup corpus prep; "
                          "curate = prep + phrase-repetition gate + "
-                         "stratified per-language sample (training mix)")
+                         "stratified per-language sample (training mix); "
+                         "export = join a prep/curate mix manifest back to "
+                         "text and write packed training-example shards")
     ap.add_argument("--quality-threshold", type=float, default=0.01,
                     help="prep/curate job: minimum quality_score to keep")
     ap.add_argument("--max-top2gram-e4", type=int, default=800,
@@ -46,6 +48,14 @@ def main(argv=None) -> int:
                          "writing (the standard pre-training export step; "
                          "one all-to-all exchange over the already-gated, "
                          "text-free rows)")
+    ap.add_argument("--manifest", default=None,
+                    help="export job: dir/file of mix-manifest parquet "
+                         "(doc_id rows — a prep/curate output data dir)")
+    ap.add_argument("--capacity", type=int, default=2048,
+                    help="export job: pack capacity in tokens")
+    ap.add_argument("--n-shards", type=int, default=16,
+                    help="export job: output shard count (the resume "
+                         "unit of the packing phase)")
     ap.add_argument("--plan", choices=["auto", "canonical", "fused"],
                     default="auto")
     ap.add_argument("--policy", default="text",
@@ -87,16 +97,50 @@ def main(argv=None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        if args.job == "export":
+            import sys
+
+            if args.manifest is None:
+                raise SystemExit("--job export requires --manifest "
+                                 "(a prep/curate output data dir)")
+            for flag, val, default in (("--model", args.model, None),
+                                       ("--plan", args.plan, "auto"),
+                                       ("--wave", args.wave, 4),
+                                       ("--shuffle-seed",
+                                        args.shuffle_seed, None),
+                                       ("--partition-by",
+                                        args.partition_by, None)):
+                if val != default:
+                    print(f"warning: {flag} does not apply to --job "
+                          f"export; ignored", file=sys.stderr)
+            from .state.runner import run_export
+
+            summary = run_export(
+                args.input,
+                args.output,
+                manifest_path=args.manifest,
+                capacity=args.capacity,
+                n_shards=args.n_shards,
+                max_partitions=args.max_partitions,
+            )
+            print(json.dumps(summary))
+            return 0
         if args.job in ("prep", "curate"):
             import sys
 
-            for flag, val, default in (("--model", args.model, None),
-                                       ("--plan", args.plan, "auto"),
-                                       ("--wave", args.wave, 4)):
+            ignored = [("--model", args.model, None),
+                       ("--plan", args.plan, "auto"),
+                       ("--wave", args.wave, 4)]
+            if args.job == "curate":
+                # run_curate takes neither flag; warn instead of
+                # silently dropping a requested shuffle/partitioning
+                # (ADVICE r3)
+                ignored += [("--shuffle-seed", args.shuffle_seed, None),
+                            ("--partition-by", args.partition_by, None)]
+            for flag, val, default in ignored:
                 if val != default:
-                    print(f"warning: {flag} applies to --job extract "
-                          f"only; ignored for --job {args.job}",
-                          file=sys.stderr)
+                    print(f"warning: {flag} does not apply to --job "
+                          f"{args.job}; ignored", file=sys.stderr)
             import os
             import shutil
 
