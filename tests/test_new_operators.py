@@ -589,6 +589,33 @@ def test_sorted_block_invariant_guard(ray_session):
         relational.assert_sorted_block_invariant(broken, ["k"])
 
 
+def test_debug_invariants_env_knob(ray_session, monkeypatch):
+    """GRAFT_DEBUG_INVARIANTS=1 (VERDICT r3 #6) runs the sorted-block
+    guard inside production join plans: a synthetic violation (one key
+    spanning two blocks) trips loudly; clean inputs pass through with
+    the guard active; the default is a no-op pass-through."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.relational import _maybe_guard_sorted
+
+    t1 = pa.table({"k": pa.array([1, 2], type=pa.int64())})
+    t2 = pa.table({"k": pa.array([2, 3], type=pa.int64())})
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    monkeypatch.delenv("GRAFT_DEBUG_INVARIANTS", raising=False)
+    assert _maybe_guard_sorted(ds, ["k"]) is ds
+    monkeypatch.setenv("GRAFT_DEBUG_INVARIANTS", "1")
+    with pytest.raises(AssertionError, match="spans"):
+        _maybe_guard_sorted(ds, ["k"])
+    # guard ON + clean input: hash_join still correct, nothing trips
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3, 4],
+                                    "b": ["x", "y", "z"]}))
+    out = relational.hash_join(left, right, key="k", left_cols=["a"],
+                               right_cols=["b"])
+    assert sorted((r["k"], r["a"], r["b"]) for r in out.take_all()) == \
+        [(2, 20, "x"), (3, 30, "y")]
+
+
 def test_top_unshipped_matches_duckdb(ray_session):
     import duckdb
 
