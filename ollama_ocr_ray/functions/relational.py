@@ -141,26 +141,47 @@ def top_docs_by_len(docs, k: int = 100):
     ).limit(k).select_columns(["doc_id", "n_chars"])
 
 
-def events_hourly(events):
+def events_hourly(events, *, sort_partitions: int | None = None,
+                  fan_in: int = 64):
     """Tumbling 1-hour windows per event_type: row count, distinct
     users, exact sum(value) via 1e6 scaling.
 
-    Exact-by-construction double groupby (ADVICE r3 medium: the r3
-    sorted-block fold assumed equal (event_type, window) keys never
-    split across sort-output blocks — false for low-cardinality
-    composite keys, the repo's own measured fact).  ``groupby`` itself
-    is partition-exact (boundary assignment is by key value, and the
-    aggregation runs per PARTITION before any size-based block split),
-    so the plan is: per-batch pre-aggregate to (type, window, user)
-    partials → groupby on that triple collapses each user to exactly
-    one row globally → per-block pre-count → groupby on (type, window)
-    sums counts.  Both exchanges carry pre-aggregated scalar rows only.
-    Distinct-user exact counting still ships one row per (window,
-    user) into the first exchange — the scale path swaps in the HLL
-    partial (``sketches.approx_users``); exact is the oracle-checkable
-    variant.
+    Exact under block splits WITHOUT a hot-path ``groupby`` (ADVICE r3
+    medium + measured: Ray's aggregate operator costs ~5-7 s at ~100k
+    groups where a plain sort costs ~1 s, BASELINE.md r4).  Plan:
+
+    1. per-batch pre-aggregate to (type, window, user) partials;
+    2. ONE sort on the FULL triple — every (type, window, user) group
+       is globally contiguous, so a split can only put a group at
+       block EDGES;
+    3. vectorized block fold: per (type, window) segment sums + a
+       distinct-user transition count, PLUS two marker rows per block
+       (the first and last rows' triples).  A group spanning k blocks
+       appears exactly k times among markers, an unsplit one at most
+       once — so per window ``overcount = markers - distinct marker
+       users``, computed on the driver from a 2-rows-per-block bounded
+       set (same cap pattern as ``sessionize``);
+    4. repartition tree-reduce merges the per-block window partials
+       (sums are mergeable; the transition total minus overcount is
+       the exact distinct-user count) — the CLAUDE.md-sanctioned
+       fallback for low-cardinality keys, never a sorted-block
+       assumption.  The final task holds at most fan_in x windows
+       rows.
+
+    The scale path for distinct users stays the HLL partial
+    (``sketches.approx_users``); exact is the oracle-checkable variant.
     """
-    from ray.data.aggregate import Sum
+    fold_schema = pa.schema(
+        [("event_type", pa.string()), ("window_start", pa.int64()),
+         ("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("micro", pa.int64()), ("n_users", pa.int64()),
+         ("__kind", pa.int8())]
+    )
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
+         ("n_events", pa.int64()), ("n_users", pa.int64()),
+         ("sum_value", pa.float64())]
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -181,74 +202,181 @@ def events_hourly(events):
             [("value_micro", "sum"), ("one", "sum")]
         )
 
-    # exactly one row per (type, window, user) after this exchange
-    per_user = (
-        events.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start", "user_id"])
-        .aggregate(
-            Sum("value_micro_sum", alias_name="micro"),
-            Sum("one_sum", alias_name="n"),
-        )
-    )
-
-    mid_schema = pa.schema(
-        [("event_type", pa.string()), ("window_start", pa.int64()),
-         ("micro_sum", pa.int64()), ("n_sum", pa.int64()),
-         ("one_user_sum", pa.int64())]
-    )
-
-    def count_users(batch: pa.Table) -> pa.Table:
+    def fold_block(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
-            return mid_schema.empty_table()
+            return fold_schema.empty_table()
         batch = batch.combine_chunks()
-        t = pa.table(
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("event_type", "ascending"),
+                       ("window_start", "ascending"),
+                       ("user_id", "ascending")],
+        )
+        batch = batch.take(idx).combine_chunks()
+        # dictionary codes so segment detection compares ints, not strings
+        et_codes = (
+            batch.column("event_type").chunk(0).dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        win = np.asarray(batch.column("window_start"))
+        uid = np.asarray(batch.column("user_id"))
+        micro = np.asarray(batch.column("value_micro_sum"))
+        cnt = np.asarray(batch.column("one_sum"))
+        from .dedup import _segment_bounds
+
+        starts, _ = _segment_bounds(et_codes, win)
+        new_user = np.ones(len(uid), dtype=np.int64)
+        new_user[1:] = (
+            (et_codes[1:] != et_codes[:-1])
+            | (win[1:] != win[:-1])
+            | (uid[1:] != uid[:-1])
+        ).astype(np.int64)
+        n = len(uid)
+        # markers: the first and last rows' (type, window, user) triples
+        # (deduped when the block is one group) — the bounded side data
+        # the driver needs to correct boundary-split double counting
+        marker_idx = [0] if n == 1 or (
+            et_codes[0] == et_codes[-1] and win[0] == win[-1]
+            and uid[0] == uid[-1]
+        ) else [0, n - 1]
+        mi = pa.array(marker_idx, type=pa.int64())
+        zeros = np.zeros(len(marker_idx), dtype=np.int64)
+        agg = pa.table(
             {
-                "event_type": batch.column("event_type"),
-                "window_start": batch.column("window_start"),
-                "micro": batch.column("micro"),
-                "n": batch.column("n"),
-                "one_user": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "event_type": batch.column("event_type").take(pa.array(starts)),
+                "window_start": pa.array(win[starts], type=pa.int64()),
+                "user_id": pa.nulls(len(starts), type=pa.int64()),
+                "n_events": pa.array(np.add.reduceat(cnt, starts),
+                                     type=pa.int64()),
+                "micro": pa.array(np.add.reduceat(micro, starts),
+                                  type=pa.int64()),
+                "n_users": pa.array(np.add.reduceat(new_user, starts),
+                                    type=pa.int64()),
+                "__kind": pa.array(
+                    np.zeros(len(starts), dtype=np.int8)
+                ),
             }
-        )
-        return t.group_by(["event_type", "window_start"]).aggregate(
-            [("micro", "sum"), ("n", "sum"), ("one_user", "sum")]
-        ).select(mid_schema.names).cast(mid_schema)
+        ).cast(fold_schema)
+        markers = pa.table(
+            {
+                "event_type": batch.column("event_type").take(mi),
+                "window_start": pa.array(win[marker_idx], type=pa.int64()),
+                "user_id": pa.array(uid[marker_idx], type=pa.int64()),
+                "n_events": pa.array(zeros),
+                "micro": pa.array(zeros),
+                "n_users": pa.array(zeros),
+                "__kind": pa.array(np.ones(len(marker_idx), dtype=np.int8)),
+            }
+        ).cast(fold_schema)
+        return pa.concat_tables([agg, markers])
 
-    agg = (
-        per_user.map_batches(count_users, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Sum("micro_sum", alias_name="micro"),
-            Sum("n_sum", alias_name="n_events"),
-            Sum("one_user_sum", alias_name="n_users"),
-        )
+    rows = events.map_batches(partial, batch_format="pyarrow")
+    if sort_partitions:
+        # coalesce immediately before the sort (the CLAUDE.md-measured
+        # exception: the sort is a barrier anyway, and every sorted
+        # block costs one driver dispatch in each downstream pass) —
+        # callers set this when the partial output is known-small
+        rows = rows.repartition(sort_partitions)
+    folded = (
+        rows.sort(["event_type", "window_start", "user_id"])
+        .map_batches(fold_block, batch_size=None, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .materialize()
     )
 
-    out_schema = pa.schema(
-        [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
-         ("n_events", pa.int64()), ("n_users", pa.int64()),
-         ("sum_value", pa.float64())]
-    )
+    def keep(kind: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return fold_schema.empty_table()
+            batch = batch.combine_chunks()
+            return batch.filter(pc.equal(batch.column("__kind"), kind))
+        return fn
+
+    marker_rows = folded.map_batches(
+        keep(1), batch_format="pyarrow", zero_copy_batch=True
+    ).limit(SESSION_OPEN_CAP + 1).take_all()
+    if len(marker_rows) > SESSION_OPEN_CAP:
+        raise RuntimeError(
+            "events_hourly: boundary-marker set exceeds the driver cap "
+            f"({SESSION_OPEN_CAP} rows = 2 per sorted block); raise "
+            "target_max_block_size or use sketches.approx_users"
+        )
+    # per window: overcount = marker rows - distinct marker triples
+    seen: dict = {}
+    counts: dict = {}
+    for r in marker_rows:
+        w = (r["event_type"], r["window_start"])
+        counts[w] = counts.get(w, 0) + 1
+        seen.setdefault(w, set()).add(r["user_id"])
+    overcount = {w: counts[w] - len(seen[w]) for w in counts
+                 if counts[w] > len(seen[w])}
+
+    def local_sum(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return fold_schema.empty_table()
+        batch = batch.combine_chunks()
+        t = batch.select(["event_type", "window_start", "n_events",
+                          "micro", "n_users"])
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum"), ("micro", "sum"), ("n_users", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "window_start": g.column("window_start"),
+                "user_id": pa.nulls(g.num_rows, type=pa.int64()),
+                "n_events": g.column("n_events_sum"),
+                "micro": g.column("micro_sum"),
+                "n_users": g.column("n_users_sum"),
+                "__kind": pa.array(np.zeros(g.num_rows, dtype=np.int8)),
+            }
+        ).cast(fold_schema)
 
     def finalize(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return out_schema.empty_table()
-        batch = batch.combine_chunks()
+        merged = local_sum(batch).combine_chunks()
+        et = merged.column("event_type").to_pylist()
+        win = merged.column("window_start").to_numpy(zero_copy_only=False)
+        users = merged.column("n_users").to_numpy(
+            zero_copy_only=False
+        ).copy()
+        if overcount:
+            corr = np.array(
+                [overcount.get((e, int(w)), 0) for e, w in zip(et, win)],
+                dtype=np.int64,
+            )
+            users -= corr
         return pa.table(
             {
-                "event_type": batch.column("event_type"),
-                "window_start": batch.column("window_start")
+                "event_type": merged.column("event_type"),
+                "window_start": merged.column("window_start")
                 .cast(pa.timestamp("us")),
-                "n_events": batch.column("n_events").cast(pa.int64()),
-                "n_users": batch.column("n_users").cast(pa.int64()),
+                "n_events": merged.column("n_events"),
+                "n_users": pa.array(users, type=pa.int64()),
                 "sum_value": pa.array(
-                    batch.column("micro").to_numpy(zero_copy_only=False) / 1e6,
+                    merged.column("micro").to_numpy(zero_copy_only=False)
+                    / 1e6,
                     type=pa.float64(),
                 ),
             }
-        )
+        ).cast(out_schema)
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    # repartition tree-reduce over the per-block window partials (the
+    # low-cardinality-key fallback; the final task sees <= fan_in x
+    # windows pre-merged rows).  The mid level only pays for itself
+    # when there are more folded blocks than fan_in.
+    agg = folded.map_batches(keep(0), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    if folded.num_blocks() > fan_in:
+        agg = agg.repartition(fan_in).map_batches(
+            local_sum, batch_size=None, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return agg.repartition(1).map_batches(
+        finalize, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def order_priority_counts(orders, date_lo: str, date_hi: str):

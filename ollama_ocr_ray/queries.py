@@ -173,7 +173,11 @@ def q_segment_revenue(sf_dir: str):
 
 def q_events_hourly(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["event_type", "ts", "user_id", "value"])
-    return relational.events_hourly(ev)
+    # test-scale knob: the per-batch partials collapse to ~100k scalar
+    # rows, so 8 sort partitions beat block-proportional dispatch
+    # (every sorted block costs one task in each downstream pass);
+    # leave None at real scale where the partial output is large
+    return relational.events_hourly(ev, sort_partitions=8)
 
 
 def _query_matrix(sf_dir: str, q_ids: list[int]):

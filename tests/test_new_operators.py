@@ -232,6 +232,37 @@ def test_sessionize_exact_when_user_run_splits_blocks(ray_session):
     assert [r["n_events"] for r in ctl] == [2, 2, 2]
 
 
+def test_events_hourly_exact_when_group_splits_blocks(ray_session):
+    # one hot (type, window, user) group scattered over 20 input blocks
+    # emits one partial row per block; the sort may split those equal
+    # triples across output blocks, and the marker correction must keep
+    # the distinct-user count exact (ADVICE r3 medium)
+    import ray.data as rd
+
+    base = np.datetime64("2024-03-01T10:00:00", "us")
+    n = 2000
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a"] * n + ["b"] * 3),
+            "ts": pa.array(
+                [base + np.timedelta64(i % 60, "m") for i in range(n)]
+                + [base] * 3
+            ),
+            "user_id": pa.array([1] * n + [7, 8, 9], type=pa.int64()),
+            "value": pa.array([0.5] * (n + 3)),
+        }
+    )
+    out = relational.events_hourly(
+        rd.from_arrow(tbl).repartition(20)
+    ).take_all()
+    by = {r["event_type"]: r for r in out}
+    assert len(out) == 2
+    assert by["a"]["n_events"] == n and by["a"]["n_users"] == 1
+    assert by["a"]["sum_value"] == n * 0.5
+    assert by["b"]["n_events"] == 3 and by["b"]["n_users"] == 3
+    assert by["b"]["sum_value"] == 1.5
+
+
 # --- n-gram Jaccard dedup ---------------------------------------------------
 
 
