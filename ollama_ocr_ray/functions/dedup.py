@@ -62,11 +62,27 @@ def exact_dedup(docs):
     return agg.select_columns(["doc_id", "n_dups"])
 
 
+DROPLIST_OPEN_CAP = 4_000_000  # driver bound on boundary local-min rows
+
+
 def exact_droplist(docs):
     """(doc_id) of every document whose text duplicates a SMALLER
     doc_id — the removal side that ``relational.anti_join`` applies.
-    Only (content-hash, doc_id) rows cross the exchange; sort key ==
-    group key (the hash alone), so segments cannot split."""
+    Only (content-hash, doc_id) rows cross the exchange.
+
+    Exact under hot-key block splits (round-4 hardening of the ADVICE
+    r3 class: a text duplicated past the block-size bound splits its
+    sorted run, and the old per-segment fold kept every fragment's
+    local min).  Rows above their segment's LOCAL min are certainly
+    above the global min, so the block drops them immediately; each
+    block's first/last segments also emit their (hash, local_min) as
+    marker rows — a split hash appears only as boundary segments — and
+    the bounded marker set (<= 2 per block, capped) folds on the
+    driver: every marker local-min except the per-hash global min is a
+    duplicate too."""
+    out_schema = pa.schema(
+        [("h", pa.string()), ("doc_id", pa.int64()), ("__kind", pa.int8())]
+    )
 
     def hash_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -80,7 +96,7 @@ def exact_droplist(docs):
 
     def drop_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or batch.num_columns == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+            return out_schema.empty_table()
         batch = batch.combine_chunks()
         starts, _ = _segment_bounds(batch.column("h"))
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -88,15 +104,76 @@ def exact_droplist(docs):
         seg_of_row = np.searchsorted(
             starts, np.arange(len(ids)), side="right"
         ) - 1
-        keep = ids != seg_min[seg_of_row]
-        return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+        drop = ids != seg_min[seg_of_row]
+        dropped = pa.table(
+            {
+                "h": pa.nulls(int(drop.sum()), type=pa.string()),
+                "doc_id": pa.array(ids[drop], type=pa.int64()),
+                "__kind": pa.array(
+                    np.zeros(int(drop.sum()), dtype=np.int8)
+                ),
+            }
+        ).cast(out_schema)
+        # boundary markers: local min of the first and last segments
+        m = [0] if len(starts) == 1 else [0, len(starts) - 1]
+        marker_starts = pa.array(np.asarray(starts)[m], type=pa.int64())
+        markers = pa.table(
+            {
+                "h": batch.column("h").take(marker_starts),
+                "doc_id": pa.array(seg_min[m], type=pa.int64()),
+                "__kind": pa.array(np.ones(len(m), dtype=np.int8)),
+            }
+        ).cast(out_schema)
+        return pa.concat_tables([dropped, markers])
 
-    return (
+    folded = (
         docs.map_batches(hash_rows, batch_format="pyarrow")
         .sort("h")
         .map_batches(drop_block, batch_size=None, batch_format="pyarrow",
                      zero_copy_batch=True)
+        .materialize()
     )
+
+    def keep_dropped(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        batch = batch.combine_chunks()
+        return batch.filter(
+            pc.equal(batch.column("__kind"), 0)
+        ).select(["doc_id"])
+
+    def keep_markers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        return batch.filter(pc.equal(batch.column("__kind"), 1))
+
+    closed = folded.map_batches(keep_dropped, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    markers = folded.map_batches(
+        keep_markers, batch_format="pyarrow", zero_copy_batch=True
+    ).limit(DROPLIST_OPEN_CAP + 1).take_all()
+    if len(markers) > DROPLIST_OPEN_CAP:
+        raise RuntimeError(
+            "exact_droplist: boundary-marker set exceeds the driver cap "
+            f"({DROPLIST_OPEN_CAP} rows = 2 per sorted block); raise "
+            "target_max_block_size or DROPLIST_OPEN_CAP"
+        )
+    if not markers:
+        return closed
+    t = pa.Table.from_pylist(markers).sort_by(
+        [("h", "ascending"), ("doc_id", "ascending")]
+    ).combine_chunks()
+    starts, _ = _segment_bounds(t.column("h"))
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    is_start = np.zeros(len(ids), dtype=bool)
+    is_start[np.asarray(starts)] = True
+    extra = pa.table(
+        {"doc_id": pa.array(ids[~is_start], type=pa.int64())}
+    )
+    import ray.data
+
+    return closed.union(ray.data.from_arrow(extra))
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -347,8 +424,15 @@ def simhash_dup_pairs(docs, *, max_hamming: int = 3, concurrency=None):
     Task pool by default (the hasher vectorizes over each batch's
     unique tokens, so there is no warm-up state worth pinning); pass
     ``concurrency`` for a pinned actor pool anyway when the stage
-    should be isolated from task-dispatch churn."""
+    should be isolated from task-dispatch churn.
+
+    Bucket folds run through ``folds.exact_segment_fold`` (round-4
+    hardening): a hot band value split across sorted blocks would
+    silently MISS cross-fragment pairs; boundary buckets route wholly
+    to the bounded driver residual instead."""
     from ray.data.aggregate import Min
+
+    from .folds import exact_segment_fold
 
     if concurrency is None:
         hashed = docs.map_batches(SimHasher(), batch_format="pyarrow")
@@ -357,9 +441,20 @@ def simhash_dup_pairs(docs, *, max_hamming: int = 3, concurrency=None):
             SimHasher, batch_format="pyarrow", concurrency=concurrency
         )
     bands = hashed.map_batches(_simhash_band_rows, batch_format="pyarrow")
-    pairs = bands.sort(["band_id", "band_val"]).map_batches(
-        lambda b: _simhash_pairs_block(b, max_hamming),
-        batch_size=None, batch_format="pyarrow", zero_copy_batch=True,
+    band_schema = pa.schema(
+        [("doc_id", pa.int64()), ("band_id", pa.int32()),
+         ("band_val", pa.int64()), ("simhash", pa.int64())]
+    )
+    pair_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()),
+         ("hamming", pa.int32())]
+    )
+    pairs = exact_segment_fold(
+        bands.sort(["band_id", "band_val"]),
+        key_cols=["band_id", "band_val"],
+        fold=lambda b: _simhash_pairs_block(b, max_hamming),
+        raw_schema=band_schema, out_schema=pair_schema,
+        op="simhash_dup_pairs",
     )
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Min("hamming", alias_name="hamming")
@@ -548,12 +643,24 @@ def _lsh_exact_pairs(docs, band_rows, shingle_set, threshold: float):
     pair.  Round 1 carried the full text into all 16 band buckets
     instead (the banned amplification pattern).
     """
+    from .folds import exact_segment_fold
+
     id_type = docs.schema().base_schema.field("doc_id").type
-    # dedup candidates across bands with sort + vectorized take-first
+    band_schema = pa.schema([("bucket", pa.int64()), ("doc_id", id_type)])
+    cand_schema = pa.schema([("a_id", id_type), ("b_id", id_type)])
+    # candidate pairs per bucket, exact under bucket block splits
+    # (round-4 hardening: a split bucket would MISS cross-fragment
+    # pairs); then dedup across bands with sort + vectorized
+    # take-first.  A duplicate pair surviving a split take-first run
+    # is HARMLESS: the verify stage emits one row per (a, b) segment,
+    # so this second fold stays a plain optimization pass.
     cand = (
-        band_rows.sort("bucket")
-        .map_batches(_bucket_candidate_pairs, batch_size=None,
-                     batch_format="pyarrow", zero_copy_batch=True)
+        exact_segment_fold(
+            band_rows.sort("bucket"), key_cols=["bucket"],
+            fold=_bucket_candidate_pairs,
+            raw_schema=band_schema, out_schema=cand_schema,
+            op="lsh_bucket_pairs",
+        )
         .sort(["a_id", "b_id"])
         .map_batches(_first_pair_block, batch_size=None,
                      batch_format="pyarrow", zero_copy_batch=True)
@@ -642,9 +749,13 @@ def _lsh_exact_pairs(docs, band_rows, shingle_set, threshold: float):
             }
         ).cast(half_schema)
 
-    halves = keyed.sort("k").map_batches(
-        attach_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    # exact under doc-key block splits: a hot doc (member of many
+    # candidate pairs) whose keyed run splits would drop the half-rows
+    # in fragments without its text row (round-4 hardening)
+    halves = exact_segment_fold(
+        keyed.sort("k"), key_cols=["k"], fold=attach_block,
+        raw_schema=keyed_schema, out_schema=half_schema,
+        op="lsh_attach_text",
     )
 
     out_schema = pa.schema(
@@ -685,9 +796,13 @@ def _lsh_exact_pairs(docs, band_rows, shingle_set, threshold: float):
              "jaccard": pa.array(j_out, type=pa.float64())}
         ).cast(out_schema)
 
-    return halves.sort(["a_id", "b_id"]).map_batches(
-        verify_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    # exact under pair-segment block splits: a boundary cut between a
+    # pair's two half-rows would drop the pair as single-sided
+    # (round-4 hardening)
+    return exact_segment_fold(
+        halves.sort(["a_id", "b_id"]), key_cols=["a_id", "b_id"],
+        fold=verify_block, raw_schema=half_schema, out_schema=out_schema,
+        op="lsh_verify_pairs",
     )
 
 

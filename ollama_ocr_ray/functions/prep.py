@@ -44,20 +44,88 @@ class PrepAnnotate:
         )
 
 
+KEEP_MIN_OPEN_CAP = 4_000_000  # driver bound on boundary keeper rows
+
+
 def _keep_first_block(batch: pa.Table) -> pa.Table:
-    """Sorted-by-fingerprint block → the min-doc_id row per fingerprint.
-    A local (fingerprint, doc_id) re-sort makes take-first correct; the
-    global sort key is fingerprint ALONE so sort ranges cannot split a
-    fingerprint group across blocks (group key == full sort key)."""
+    """Sorted-by-fingerprint block → the min-doc_id row per fingerprint
+    segment, with the block's FIRST and LAST segments' keepers marked
+    ``__open`` — a fingerprint whose run splits across sorted blocks
+    (possible whenever one content is duplicated past the block-size
+    bound, the round-4 hardening of the ADVICE r3 class) appears ONLY
+    as boundary segments, so the bounded open set re-folds exactly."""
     from .dedup import _segment_bounds
 
-    if batch.num_rows == 0:
+    if batch.num_rows == 0 or batch.num_columns == 0:
         return batch
     batch = batch.sort_by(
         [("fingerprint", "ascending"), ("doc_id", "ascending")]
     ).combine_chunks()
     starts, _ = _segment_bounds(batch.column("fingerprint"))
-    return batch.take(pa.array(starts, type=pa.int64()))
+    kept = batch.take(pa.array(starts, type=pa.int64()))
+    is_open = np.zeros(len(starts), dtype=np.int8)
+    is_open[0] = 1
+    is_open[-1] = 1
+    return kept.append_column("__open", pa.array(is_open))
+
+
+def dedup_keep_min(ann):
+    """Exact-dedup keep-min-doc_id per fingerprint over an annotated
+    Dataset, EXACT under hot-key block splits: one sort on fingerprint,
+    block-local keep-first, then the <= 2-per-block boundary keepers
+    (capped, loud error) re-fold on the driver and union back.  The
+    min-per-key reduction is associative, so folding local minima of a
+    split run yields the global minimum."""
+    from .dedup import _segment_bounds
+
+    folded = ann.sort("fingerprint").map_batches(
+        _keep_first_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    out_schema = pa.schema(
+        [f for f in folded.schema().base_schema if f.name != "__open"]
+    )
+
+    def keep_closed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch.column("__open"), 0)
+        ).drop_columns(["__open"])
+
+    def keep_open(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        batch = batch.combine_chunks()
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("__open"), 1))
+
+    closed = folded.map_batches(keep_closed, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    open_rows = folded.map_batches(
+        keep_open, batch_format="pyarrow", zero_copy_batch=True
+    ).limit(KEEP_MIN_OPEN_CAP + 1).take_all()
+    if len(open_rows) > KEEP_MIN_OPEN_CAP:
+        raise RuntimeError(
+            "dedup_keep_min: boundary-keeper set exceeds the driver cap "
+            f"({KEEP_MIN_OPEN_CAP} rows = 2 per sorted block); raise "
+            "target_max_block_size or KEEP_MIN_OPEN_CAP"
+        )
+    if not open_rows:
+        return closed
+    t = pa.Table.from_pylist(open_rows).drop_columns(["__open"])
+    t = t.cast(out_schema).sort_by(
+        [("fingerprint", "ascending"), ("doc_id", "ascending")]
+    ).combine_chunks()
+    starts, _ = _segment_bounds(t.column("fingerprint"))
+    merged = t.take(pa.array(starts, type=pa.int64()))
+    import ray.data
+
+    return closed.union(ray.data.from_arrow(merged))
 
 
 def prep_corpus(docs, *, quality_threshold: float = 0.01, concurrency=None):
@@ -81,10 +149,7 @@ def prep_corpus(docs, *, quality_threshold: float = 0.01, concurrency=None):
             concurrency=concurrency,
             fn_constructor_kwargs={"quality_threshold": quality_threshold},
         )
-    return ann.sort("fingerprint").map_batches(
-        _keep_first_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return dedup_keep_min(ann)
 
 
 class CurateAnnotate:
@@ -153,10 +218,7 @@ def curate_corpus(docs, *, quality_threshold: float = 0.01,
             CurateAnnotate, batch_format="pyarrow",
             concurrency=concurrency, fn_constructor_kwargs=ann_kwargs,
         )
-    deduped = ann.sort("fingerprint").map_batches(
-        _keep_first_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    deduped = dedup_keep_min(ann)
     return sample_stratified(deduped, stratum_col="pred_lang", k=k,
                              seed=seed, fan_in=fan_in)
 

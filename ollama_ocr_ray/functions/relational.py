@@ -561,6 +561,14 @@ def asof_last_order_partitioned(events, orders):
     a same-instant order counts (at-or-before semantics, ties with the
     DuckDB oracle's ``o_orderdate <= ts``).
 
+    Exact under hot-key block splits (round-4 hardening of the ADVICE
+    r3 class): a customer whose keyed rows split across sorted blocks
+    is, by contiguity, the FIRST or LAST key of every block containing
+    them — each block passes those keys' RAW rows through untouched
+    and merges only interior keys (complete by construction); the
+    bounded boundary set (rows of <= 2 keys per block, capped with a
+    loud error) merges on the driver with the same vectorized fill.
+
     Reference behavior generalized: the reference has no joins at all;
     this is the training-data-pipeline operator suite (SURVEY §2.8).
     """
@@ -605,8 +613,11 @@ def asof_last_order_partitioned(events, orders):
          ("last_order_date", pa.timestamp("us"))]
     )
 
-    def merge_block(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
+    def asof_fill(batch: pa.Table) -> pa.Table:
+        """Vectorized grouped forward-fill over keyed rows — used per
+        block for interior keys and once on the driver for the bounded
+        boundary set."""
+        if batch.num_rows == 0:
             return out_schema.empty_table()
         batch = batch.combine_chunks()
         idx = pc.sort_indices(
@@ -639,10 +650,93 @@ def asof_last_order_partitioned(events, orders):
             }
         ).cast(out_schema)
 
-    return keyed.sort("k").map_batches(
+    # superset schema: merged interior outputs (kind 0) + raw boundary
+    # rows (kind 1) flow through one stream
+    mixed_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("last_order_date", pa.timestamp("us")), ("k", pa.int64()),
+         ("side", pa.int8()), ("ts", pa.int64()), ("__kind", pa.int8())]
+    )
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return mixed_schema.empty_table()
+        batch = batch.combine_chunks()
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        is_open = (k == k.min()) | (k == k.max())
+        interior = asof_fill(batch.filter(pa.array(~is_open)))
+        raw = batch.filter(pa.array(is_open)).combine_chunks()
+        merged = pa.table(
+            {
+                "event_id": interior.column("event_id"),
+                "user_id": interior.column("user_id"),
+                "last_order_date": interior.column("last_order_date"),
+                "k": pa.nulls(interior.num_rows, type=pa.int64()),
+                "side": pa.nulls(interior.num_rows, type=pa.int8()),
+                "ts": pa.nulls(interior.num_rows, type=pa.int64()),
+                "__kind": pa.array(
+                    np.zeros(interior.num_rows, dtype=np.int8)
+                ),
+            }
+        ).cast(mixed_schema)
+        boundary = pa.table(
+            {
+                "event_id": raw.column("event_id"),
+                "user_id": pa.nulls(raw.num_rows, type=pa.int64()),
+                "last_order_date": pa.nulls(raw.num_rows,
+                                            type=pa.timestamp("us")),
+                "k": raw.column("k"),
+                "side": raw.column("side"),
+                "ts": raw.column("ts"),
+                "__kind": pa.array(np.ones(raw.num_rows, dtype=np.int8)),
+            }
+        ).cast(mixed_schema)
+        return pa.concat_tables([merged, boundary])
+
+    folded = keyed.sort("k").map_batches(
         merge_block, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
+    ).materialize()
+
+    def keep_merged(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        return batch.filter(
+            pc.equal(batch.column("__kind"), 0)
+        ).select(["event_id", "user_id", "last_order_date"]).cast(out_schema)
+
+    def keep_boundary(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return mixed_schema.empty_table()
+        batch = batch.combine_chunks()
+        return batch.filter(pc.equal(batch.column("__kind"), 1))
+
+    closed = folded.map_batches(keep_merged, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    boundary_rows = folded.map_batches(
+        keep_boundary, batch_format="pyarrow", zero_copy_batch=True
+    ).limit(SESSION_OPEN_CAP + 1).take_all()
+    if len(boundary_rows) > SESSION_OPEN_CAP:
+        raise RuntimeError(
+            "asof_last_order_partitioned: boundary-key row set exceeds "
+            f"the driver cap ({SESSION_OPEN_CAP} rows); salt the hot "
+            "key or raise target_max_block_size"
+        )
+    if not boundary_rows:
+        return closed
+    bt = pa.table(
+        {
+            "k": pa.array([r["k"] for r in boundary_rows], type=pa.int64()),
+            "side": pa.array([r["side"] for r in boundary_rows],
+                             type=pa.int8()),
+            "ts": pa.array([r["ts"] for r in boundary_rows],
+                           type=pa.int64()),
+            "event_id": pa.array([r["event_id"] for r in boundary_rows],
+                                 type=pa.int64()),
+        }
     )
+    return closed.union(ray.data.from_arrow(asof_fill(bt)))
 
 
 def build_orders_by_cust(orders_table: pa.Table) -> dict:
@@ -1252,24 +1346,21 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     joins (``segment_revenue``, ``top_suppliers``) cannot cover — at
     100 TB neither side fits a driver dict.
 
-    Partitioning assumption (documented per the survey convention, and
-    relied on by EVERY sorted-block kernel in this repo: ``anti_join``,
-    ``asof_last_order_partitioned``, ``top_unshipped_orders``,
-    ``dedup._segment_bounds`` consumers — ``sessionize`` and
-    ``events_hourly`` no longer rely on it, see their docstrings):
-    Ray's range-partitioned sort places equal keys in one block — the
-    same invariant ``groupby`` relies on.  BOUND: this holds only while
-    a sort-output block stays under ``DataContext.target_max_block_size``
-    (128 MiB default) — Ray splits an oversized block on row boundaries,
-    which could cut an equal-key run in two and silently turn per-block
-    exact folds into partial ones.  So the real invariant is
-    ``max_rows_per_key x row_width < target_max_block_size``; at 100 TB
-    either pre-aggregate the hot side below that bound (as
-    ``top_unshipped_orders`` does), salt the key, or raise the block
-    size for the join stage.  ``assert_sorted_block_invariant`` below is
-    the debug-mode guard — tests run it, and production jobs can
-    spot-check with it on a sample.  A heavily skewed hot key also
-    serializes into a single merge task even when correct; same fixes.
+    Partitioning (round-4 hardening): the merge runs through
+    ``folds.exact_segment_fold`` — interior key segments fold per
+    block, and a key whose sorted run splits across blocks (one key's
+    rows exceeding ``DataContext.target_max_block_size``) routes
+    wholly to the bounded driver residual — so the join is EXACT
+    without the sorted-block invariant every earlier round documented
+    as a bound.  Output guarantee downstream folds may rely on: every
+    key's joined rows live entirely in ONE output block
+    (``top_unshipped_orders`` uses this).  Skew still matters for
+    PERFORMANCE: a hot key serializes into a single merge (or the
+    driver residual, capped with a loud error) and its cross product
+    is quadratic — pre-aggregate the hot side (as
+    ``top_unshipped_orders`` does) or salt the key.
+    ``assert_sorted_block_invariant`` remains as the
+    ``GRAFT_DEBUG_INVARIANTS=1`` probe for verifying block layouts.
     Each side's payload crosses the wire exactly once.
     """
     lschema = left.schema().base_schema
@@ -1336,9 +1427,17 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
             cols[c] = batch.column(c).take(r_idx)
         return pa.table(cols).cast(out_schema)
 
-    return _maybe_guard_sorted(tagged.sort("__k"), ["__k"]).map_batches(
-        merge_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    from .folds import exact_segment_fold
+
+    tagged_schema = pa.schema(
+        [("__k", key_type), ("__side", pa.int8())]
+        + [(c, ltypes[c]) for c in left_cols]
+        + [(c, rtypes[c]) for c in right_cols]
+    )
+    return exact_segment_fold(
+        _maybe_guard_sorted(tagged.sort("__k"), ["__k"]),
+        key_cols=["__k"], fold=merge_block,
+        raw_schema=tagged_schema, out_schema=out_schema, op="hash_join",
     )
 
 
@@ -1401,9 +1500,16 @@ def anti_join(left, right, *, key: str, left_cols: list[str]):
             cols[c] = batch.column(c).take(idx)
         return pa.table(cols).cast(out_schema)
 
-    return _maybe_guard_sorted(tagged.sort("__k"), ["__k"]).map_batches(
-        merge_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    from .folds import exact_segment_fold
+
+    tagged_schema = pa.schema(
+        [("__k", key_type), ("__side", pa.int8())]
+        + [(c, ltypes[c]) for c in left_cols]
+    )
+    return exact_segment_fold(
+        _maybe_guard_sorted(tagged.sort("__k"), ["__k"]),
+        key_cols=["__k"], fold=merge_block,
+        raw_schema=tagged_schema, out_schema=out_schema, op="anti_join",
     )
 
 

@@ -358,13 +358,10 @@ def run_prep(
     partitions, then the global exact-dedup keep-min-doc_id (+ optional
     seeded shuffle).  See ``_run_two_phase`` for the checkpoint
     protocol."""
-    from ..functions.prep import PrepAnnotate, _keep_first_block
+    from ..functions.prep import PrepAnnotate, dedup_keep_min
 
     def build_finalize(ann):
-        out = ann.sort("fingerprint").map_batches(
-            _keep_first_block, batch_size=None, batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        out = dedup_keep_min(ann)
         if shuffle_seed is not None:
             out = out.random_shuffle(seed=shuffle_seed)
         return out
@@ -399,15 +396,12 @@ def run_curate(
     phrase-repetition gated annotate partitions, then the global
     exact-dedup + seeded stratified sample per predicted language.
     Same checkpoint protocol as ``run_prep`` (``_run_two_phase``)."""
-    from ..functions.prep import CurateAnnotate, _keep_first_block
+    from ..functions.prep import CurateAnnotate, dedup_keep_min
     from ..functions.sampling import sample_stratified
 
     def build_finalize(ann):
-        deduped = ann.sort("fingerprint").map_batches(
-            _keep_first_block, batch_size=None, batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        return sample_stratified(deduped, stratum_col="pred_lang",
+        return sample_stratified(dedup_keep_min(ann),
+                                 stratum_col="pred_lang",
                                  k=sample_k, seed=sample_seed,
                                  fan_in=fan_in)
 

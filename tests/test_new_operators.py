@@ -263,6 +263,125 @@ def test_events_hourly_exact_when_group_splits_blocks(ray_session):
     assert by["b"]["sum_value"] == 1.5
 
 
+def test_keep_min_and_droplist_exact_under_hot_key_splits(ray_session):
+    """One text duplicated across 20 input blocks: its sorted hash /
+    fingerprint run can split across blocks, and both keep-min dedup
+    folds must still keep exactly the global-min doc_id (round-4
+    hardening of the ADVICE r3 class)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.dedup import exact_droplist
+    from ollama_ocr_ray.functions.prep import dedup_keep_min
+
+    n_hot = 4000
+    rows = pa.table(
+        {
+            "doc_id": pa.array(list(range(10, 10 + n_hot)) + [1, 2],
+                               type=pa.int64()),
+            "text": pa.array(["the same hot boilerplate text"] * n_hot
+                             + ["unique one", "unique two"]),
+        }
+    )
+    ds = rd.from_arrow(rows).repartition(20)
+    dropped = sorted(
+        r["doc_id"] for r in _collect(exact_droplist(ds)).to_pylist()
+    )
+    # every hot doc except the global min (10) is dropped, uniques kept
+    assert dropped == list(range(11, 10 + n_hot))
+
+    # keep-min over an annotated-shaped table with a hot fingerprint
+    ann = pa.table(
+        {
+            "doc_id": pa.array(list(range(10, 10 + n_hot)) + [1, 2],
+                               type=pa.int64()),
+            "fingerprint": pa.array(["hotfp"] * n_hot + ["fpA", "fpB"]),
+            "n_chars": pa.array([5] * (n_hot + 2), type=pa.int64()),
+        }
+    )
+    kept = sorted(
+        (r["fingerprint"], r["doc_id"])
+        for r in _collect(
+            dedup_keep_min(rd.from_arrow(ann).repartition(20))
+        ).to_pylist()
+    )
+    assert kept == [("fpA", 1), ("fpB", 2), ("hotfp", 10)]
+
+
+def test_joins_exact_under_hot_key_splits(ray_session):
+    """A join key with thousands of left rows spans many sorted
+    blocks; fragments without the right-side row would previously emit
+    nothing (hash_join) or wrongly keep rows (anti_join).  Boundary
+    routing must keep both exact (round-4 hardening)."""
+    import ray.data as rd
+
+    n = 3000
+    left = pa.table(
+        {"k": pa.array([5] * n + [1, 2], type=pa.int64()),
+         "a": pa.array(list(range(n)) + [100, 200], type=pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([5, 1, 3], type=pa.int64()),
+         "b": pa.array(["hot", "one", "three"])}
+    )
+    out = relational.hash_join(
+        rd.from_arrow(left).repartition(20), rd.from_arrow(right),
+        key="k", left_cols=["a"], right_cols=["b"],
+    ).take_all()
+    assert len(out) == n + 1
+    assert sum(1 for r in out if r["k"] == 5 and r["b"] == "hot") == n
+    assert any(r["k"] == 1 and r["a"] == 100 and r["b"] == "one"
+               for r in out)
+
+    kept = relational.anti_join(
+        rd.from_arrow(left).repartition(20), rd.from_arrow(right),
+        key="k", left_cols=["a"],
+    ).take_all()
+    # every hot row and k=1 drop; only k=2 survives
+    assert [(r["k"], r["a"]) for r in kept] == [(2, 200)]
+
+
+def test_asof_partitioned_exact_under_hot_key_splits(ray_session):
+    """A customer with thousands of keyed rows spans many sorted
+    blocks; the boundary-key driver merge must still give every event
+    its true at-or-before order (round-4 hardening)."""
+    import ray.data as rd
+
+    def us(day):
+        return np.datetime64(f"2024-01-{day:02d}", "us")
+
+    n = 3000
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1] * n + [2], type=pa.int64()),
+            # hot customer orders on days 1..27 cycling
+            "o_orderdate": pa.array([us(1 + (i % 27)) for i in range(n)]
+                                    + [us(5)]),
+        }
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array(list(range(n)) + [90001, 90002],
+                                 type=pa.int64()),
+            "user_id": pa.array([1] * n + [2, 3], type=pa.int64()),
+            "ts": pa.array([us(28)] * n + [us(4), us(9)]),
+        }
+    )
+    out = _collect(
+        relational.asof_last_order_partitioned(
+            rd.from_arrow(events).repartition(10),
+            rd.from_arrow(orders).repartition(10),
+        )
+    ).to_pylist()
+    assert len(out) == n + 2
+    by_event = {r["event_id"]: r["last_order_date"] for r in out}
+    # hot user's events at day 28: latest order is day 27
+    assert all(
+        str(by_event[i]).startswith("2024-01-27") for i in range(n)
+    )
+    assert by_event[90001] is None              # before user 2's order
+    assert by_event[90002] is None              # unknown user
+
+
 # --- n-gram Jaccard dedup ---------------------------------------------------
 
 
