@@ -32,6 +32,14 @@ from ..stages.ocr import OcrModel
 from ..stages.pdf_parse import parse_pdf_stage
 from ..stages.reassemble import REASSEMBLED_SCHEMA, reassemble_sorted_block
 
+# the span-row layout entering the reassembly exchange (explode →
+# extract → OCR output); exact_segment_fold needs it statically
+SPAN_ROW_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("offset", pa.int32()), ("sub", pa.int32()),
+     ("kind", pa.string()), ("text", pa.string()),
+     ("media_ref", pa.string()), ("ocr_ms", pa.float64())]
+)
+
 
 _BURN_MS_PER_ITER = 0.00055  # measured sha256 cost on the bench host
 
@@ -194,12 +202,18 @@ def extract_pipeline(
     # sort could place a range boundary inside a document), then one
     # vectorized many-docs-per-block pass — not groupby().map_groups,
     # whose per-group Python call dominated the round-1 bench (2.1x the
-    # fused plan; see reassemble_sorted_block docstring).
-    out = spans.sort("doc_id").map_batches(
-        reassemble_sorted_block,
-        batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # fused plan; see reassemble_sorted_block docstring).  The fold runs
+    # through exact_segment_fold (round-4 hardening): a document whose
+    # span rows exceed the block-size target splits its sorted run, and
+    # the old per-block pass would emit it twice with partial spans —
+    # the O2 ordering invariant's one remaining hole.
+    from ..functions.folds import exact_segment_fold
+
+    out = exact_segment_fold(
+        spans.sort("doc_id"), key_cols=["doc_id"],
+        fold=reassemble_sorted_block,
+        raw_schema=SPAN_ROW_SCHEMA, out_schema=REASSEMBLED_SCHEMA,
+        op="reassemble",
     )
     if with_stats:
         return out
