@@ -258,11 +258,12 @@ def embedding_near_dup_blocked(embeddings, threshold: float,
             }
         )
 
+    out_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()),
+         ("sim", pa.float64())]
+    )
+
     def group_pairs(batch: pa.Table) -> pa.Table:
-        out_schema = pa.schema(
-            [("a_id", pa.int64()), ("b_id", pa.int64()),
-             ("sim", pa.float64())]
-        )
         if batch.num_columns == 0 or batch.num_rows == 0:
             return out_schema.empty_table()
         batch = batch.combine_chunks()
@@ -302,11 +303,22 @@ def embedding_near_dup_blocked(embeddings, threshold: float,
              "sim": pa.array(s_out, type=pa.float64())}
         ).cast(out_schema)
 
-    return embeddings.map_batches(
-        replicate, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("pair").map_batches(
-        group_pairs, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    # exact under block-pair-group splits (round-4 hardening): a pair
+    # group split across sorted blocks would miss cross-fragment sims
+    from .folds import exact_segment_fold
+
+    emb_type = embeddings.schema().base_schema.field("embedding").type
+    rep_schema = pa.schema(
+        [("pair", pa.int64()), ("vec_id", pa.int64()),
+         ("block", pa.int64()), ("embedding", emb_type)]
+    )
+    return exact_segment_fold(
+        embeddings.map_batches(
+            replicate, batch_format="pyarrow", zero_copy_batch=True
+        ).sort("pair"),
+        key_cols=["pair"], fold=group_pairs,
+        raw_schema=rep_schema, out_schema=out_schema,
+        op="embedding_near_dup_blocked",
     )
 
 
@@ -379,11 +391,21 @@ def embedding_near_dup_lsh(embeddings, threshold: float, dim: int,
 
     from ray.data.aggregate import Max
 
-    pairs = embeddings.map_batches(
-        bucket_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("bucket").map_batches(
-        bucket_pairs, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    from .folds import exact_segment_fold
+
+    emb_type = embeddings.schema().base_schema.field("embedding").type
+    bucket_schema = pa.schema(
+        [("bucket", pa.int64()), ("vec_id", pa.int64()),
+         ("embedding", emb_type)]
+    )
+    # split buckets route to the bounded residual (round-4 hardening)
+    pairs = exact_segment_fold(
+        embeddings.map_batches(
+            bucket_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).sort("bucket"),
+        key_cols=["bucket"], fold=bucket_pairs,
+        raw_schema=bucket_schema, out_schema=out_schema,
+        op="embedding_near_dup_lsh",
     )
     return pairs.groupby(["a_id", "b_id"]).aggregate(
         Max("sim", alias_name="sim")

@@ -359,9 +359,17 @@ def _digest_parity(a_ds, b_ds, key: str = "doc_id") -> pa.Table:
             }
         ).cast(out_schema)
 
-    mism = both.sort("doc_id").map_batches(
-        mismatch_block, batch_size=None, batch_format="pyarrow",
-        zero_copy_batch=True,
+    # exact under doc-segment block splits (round-4 hardening): a split
+    # doc segment would read as n_sides != 2 — a FALSE gate failure
+    from .functions.folds import exact_segment_fold
+
+    tag_schema = pa.schema(
+        [("doc_id", pa.string()), ("digest", pa.string()),
+         ("side", pa.int8())]
+    )
+    mism = exact_segment_fold(
+        both.sort("doc_id"), key_cols=["doc_id"], fold=mismatch_block,
+        raw_schema=tag_schema, out_schema=out_schema, op="digest_parity",
     )
     # materialize the expected-empty diagnostic as an arrow Table so
     # the empty case still carries its schema — an empty Dataset
