@@ -307,6 +307,58 @@ def test_keep_min_and_droplist_exact_under_hot_key_splits(ray_session):
     assert kept == [("fpA", 1), ("fpB", 2), ("hotfp", 10)]
 
 
+def test_exact_segment_fold_unit(ray_session):
+    """Direct unit test of the boundary-routing helper: a key spanning
+    two blocks (deterministic via union of single-block datasets) folds
+    once in the driver residual, never per fragment; the cap trips
+    loudly; an empty dataset stays empty."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.folds import exact_segment_fold
+
+    raw = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    out = pa.schema([("k", pa.int64()), ("total", pa.int64()),
+                     ("frags", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        from ollama_ocr_ray.functions.dedup import _segment_bounds
+
+        if t.num_rows == 0:
+            return out.empty_table()
+        t = t.combine_chunks()
+        starts, ends = _segment_bounds(t.column("k"))
+        v = t.column("k").to_numpy(zero_copy_only=False)
+        vals = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"k": pa.array(v[starts], type=pa.int64()),
+             "total": pa.array(np.add.reduceat(vals, starts),
+                               type=pa.int64()),
+             "frags": pa.array(np.ones(len(starts), dtype=np.int64))}
+        ).cast(out)
+
+    # block 1: keys 1,2,2 — block 2: keys 2,3 (key 2 spans the blocks)
+    b1 = pa.table({"k": pa.array([1, 2, 2], type=pa.int64()),
+                   "v": pa.array([10, 1, 2], type=pa.int64())})
+    b2 = pa.table({"k": pa.array([2, 3], type=pa.int64()),
+                   "v": pa.array([4, 30], type=pa.int64())})
+    ds = rd.from_arrow(b1).union(rd.from_arrow(b2))
+    got = {r["k"]: (r["total"], r["frags"])
+           for r in exact_segment_fold(
+               ds, key_cols=["k"], fold=fold, raw_schema=raw,
+               out_schema=out, op="unit").take_all()}
+    # every key folded exactly once, split key summed across fragments
+    assert got == {1: (10, 1), 2: (7, 1), 3: (30, 1)}
+
+    with pytest.raises(RuntimeError, match="unit2.*driver cap"):
+        exact_segment_fold(ds, key_cols=["k"], fold=fold, raw_schema=raw,
+                           out_schema=out, cap=1, op="unit2")
+
+    empty = rd.from_arrow(raw.empty_table())
+    assert exact_segment_fold(
+        empty, key_cols=["k"], fold=fold, raw_schema=raw,
+        out_schema=out, op="unit3").count() == 0
+
+
 def test_joins_exact_under_hot_key_splits(ray_session):
     """A join key with thousands of left rows spans many sorted
     blocks; fragments without the right-side row would previously emit
