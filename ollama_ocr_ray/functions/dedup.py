@@ -888,6 +888,26 @@ def _cc_local(a: np.ndarray, b: np.ndarray) -> pa.Table:
     )
 
 
+def cluster_droplist(clusters):
+    """(doc_id, cluster_id) Dataset → doc_ids of every cluster member
+    that is NOT its cluster's representative (min doc_id) — the removal
+    side of FUZZY dedup, applied with ``relational.anti_join`` exactly
+    like ``exact_droplist``'s output.  Pure per-block filter, no
+    exchange."""
+
+    def drop(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        batch = batch.combine_chunks()
+        keep = pc.invert(
+            pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+        )
+        return batch.filter(keep).select(["doc_id"])
+
+    return clusters.map_batches(drop, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def dup_clusters(pairs, *, max_iter: int = 16,
                  small_graph_rows: int = 4_000_000):
     """(a_id, b_id) pair Dataset → (doc_id, cluster_id): connected

@@ -481,6 +481,22 @@ def q_dedup_apply(sf_dir: str):
     )
 
 
+def q_fuzzy_dedup_apply(sf_dir: str):
+    """END-TO-END fuzzy dedup (round-4 composition): MinHash-LSH
+    candidate pairs → exact-Jaccard verify → connected-component
+    clusters → droplist of non-representatives → co-partitioned
+    anti_join strips them from the corpus.  Every stage is the
+    already-proven operator; this is the keep-one-per-near-dup-cluster
+    pipeline a pretraining corpus actually runs, with a fully composed
+    recursive-CTE SQL oracle."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    texts = _read(sf_dir, "documents", columns=["doc_id", "text"], onb=16)
+    pairs = dedup.minhash_dup_pairs(texts, threshold=0.8)
+    drop = dedup.cluster_droplist(dedup.dup_clusters(pairs))
+    return relational.anti_join(docs, drop, key="doc_id",
+                                left_cols=["lang", "n_chars"])
+
+
 def q_tfidf_scores(sf_dir: str):
     """Two-pass TF-IDF scoring: bounded top-1000-token vocabulary
     (driver-collected, broadcast) then one streaming score pass;
@@ -1139,6 +1155,7 @@ def queries() -> dict:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "dup_clusters": q_dup_clusters,
+        "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "ngram_dedup": q_ngram_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_cosine": q_knn_cosine,
@@ -1892,6 +1909,17 @@ def oracle_sql() -> dict:
         )
         SELECT pred_lang, doc_id, sample_key, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= 20
+    """
+    # fuzzy_dedup_apply composes the proven dup_clusters recursive CTE
+    # with the anti-join apply: keep every doc that is not a
+    # non-representative member of a near-dup cluster
+    d["fuzzy_dedup_apply"] = f"""
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+            SELECT c.doc_id FROM ({d["dup_clusters"]}) c
+            WHERE c.doc_id != c.cluster_id
+        )
     """
     # export_corpus: the selected-docs totals are exact SQL (reusing
     # the proven curate manifest CTE); the packing invariants are the
