@@ -1132,6 +1132,10 @@ def queries() -> dict:
     # every round's grading depends on come FIRST (VERDICT r3 missing
     # #1); the long relational tail follows.
     return {
+        # warmup first: the session's worker-spawn cost (~2-3 s) lands
+        # on whatever query runs first; a sub-second oracle query
+        # absorbs it so the gate timings stay comparable across rounds
+        "lang_summary": q_lang_summary,
         # --- gates + recall/determinism checks (record these always) ---
         "extract_parity": q_extract_parity,
         "extract_multi": q_extract_multi,
@@ -1159,10 +1163,9 @@ def queries() -> dict:
         "ngram_dedup": q_ngram_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_cosine": q_knn_cosine,
-        # --- text analysis ---
+        # --- text analysis --- (lang_summary is the warmup entry above)
         "doc_token_stats": q_doc_token_stats,
         "bpe_token_count": q_bpe_token_count,
-        "lang_summary": q_lang_summary,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
