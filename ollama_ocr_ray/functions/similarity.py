@@ -76,6 +76,156 @@ def knn_cosine(embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
     return cand.groupby("q_id").map_groups(topk, batch_format="pyarrow")
 
 
+def knn_join(embeddings, *, k: int = 5, n_blocks: int = 8):
+    """Distributed EXACT k-NN self-join: every vector's top-k cosine
+    neighbors (excluding itself), ties broken by neighbor id — the
+    similarity-search step a dedup/curation pipeline runs over its own
+    corpus (vs ``knn_cosine``'s broadcast query set).
+
+    Plan: block-pair replication (the ``embedding_near_dup_blocked``
+    exchange — each vector lands in block ``vec_id % B`` and meets
+    every other vector in exactly ONE pair group), a vectorized
+    per-group partial top-k for BOTH sides, then one sort on q_id and
+    a boundary-exact segment fold merges the partials (any global
+    top-k member is necessarily in its group's top-k, so merging
+    partials is exact).  Exchange = N x B vector rows + N x B x k
+    scalar partials; the O(N²) similarity compute is inherent to
+    exact all-knn and spreads over B(B+1)/2 tasks — ``lsh_ann`` /
+    ``ivf_ann`` are the approximate scale path.  Pick ``n_blocks`` ~
+    sqrt(2 x cluster parallelism)."""
+    from .folds import exact_segment_fold
+
+    B = n_blocks
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids, _ = _batch_matrix(batch)
+        blocks = (ids % B).astype(np.int64)
+        n = len(ids)
+        pair_ids = np.empty(n * B, dtype=np.int64)
+        row_idx = np.empty(n * B, dtype=np.int64)
+        pos = 0
+        for j in range(B):
+            lo = np.minimum(blocks, j)
+            hi = np.maximum(blocks, j)
+            pair_ids[pos:pos + n] = lo * B + hi
+            row_idx[pos:pos + n] = np.arange(n)
+            pos += n
+        emb = batch.column("embedding").combine_chunks()
+        return pa.table(
+            {
+                "pair": pa.array(pair_ids),
+                "vec_id": batch.column("vec_id").take(pa.array(row_idx)),
+                "block": pa.array(blocks[row_idx]),
+                "embedding": emb.take(pa.array(row_idx)),
+            }
+        )
+
+    part_schema = pa.schema(
+        [("q_id", pa.int64()), ("n_id", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def _topk_rows(qs: np.ndarray, cands: np.ndarray, sims: np.ndarray,
+                   out_q: list, out_n: list, out_s: list) -> None:
+        """Per-row top-k of a (len(qs) x len(cands)) sim matrix."""
+        kk = min(k, sims.shape[1])
+        if kk == 0:
+            return
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = part.reshape(-1)
+        vals = sims[rows, cols]
+        keep = np.isfinite(vals)
+        out_q.extend(qs[rows[keep]].tolist())
+        out_n.extend(cands[cols[keep]].tolist())
+        out_s.extend(vals[keep].tolist())
+
+    def group_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return part_schema.empty_table()
+        batch = batch.combine_chunks()
+        pair_col = np.asarray(batch.column("pair"))
+        bounds = np.concatenate(
+            [[0], np.nonzero(pair_col[1:] != pair_col[:-1])[0] + 1,
+             [len(pair_col)]]
+        )
+        out_q: list = []
+        out_n: list = []
+        out_s: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub = batch.slice(s, e - s)
+            ids, mat = _batch_matrix(sub)
+            mn = _normalize(mat)
+            pid = int(pair_col[s])
+            bi, bj = pid // B, pid % B
+            blocks = np.asarray(sub.column("block"))
+            if bi == bj:
+                sims = mn @ mn.T
+                np.fill_diagonal(sims, -np.inf)
+                _topk_rows(ids, ids, sims, out_q, out_n, out_s)
+            else:
+                mi, mj = blocks == bi, blocks == bj
+                sims = mn[mi] @ mn[mj].T
+                _topk_rows(ids[mi], ids[mj], sims, out_q, out_n, out_s)
+                _topk_rows(ids[mj], ids[mi], sims.T, out_q, out_n, out_s)
+        return pa.table(
+            {
+                "q_id": pa.array(out_q, type=pa.int64()),
+                "n_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        ).cast(part_schema)
+
+    out_schema = pa.schema(
+        [("q_id", pa.int64()), ("rank", pa.int64()), ("n_id", pa.int64())]
+    )
+
+    def merge_topk(batch: pa.Table) -> pa.Table:
+        from .dedup import _segment_bounds
+
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            batch, sort_keys=[("q_id", "ascending"), ("sim", "descending"),
+                              ("n_id", "ascending")],
+        )
+        batch = batch.take(idx).combine_chunks()
+        q = np.asarray(batch.column("q_id"))
+        n_ = np.asarray(batch.column("n_id"))
+        starts, _ = _segment_bounds(batch.column("q_id"))
+        lens = np.diff(np.concatenate([starts, [len(q)]]))
+        rank = np.arange(len(q), dtype=np.int64) - np.repeat(starts, lens)
+        keep = rank < k
+        return pa.table(
+            {
+                "q_id": pa.array(q[keep], type=pa.int64()),
+                "rank": pa.array(rank[keep] + 1, type=pa.int64()),
+                "n_id": pa.array(n_[keep], type=pa.int64()),
+            }
+        ).cast(out_schema)
+
+    partials = exact_segment_fold(
+        embeddings.map_batches(
+            replicate, batch_format="pyarrow", zero_copy_batch=True
+        ).sort("pair"),
+        key_cols=["pair"], fold=group_partials,
+        raw_schema=pa.schema(
+            [("pair", pa.int64()), ("vec_id", pa.int64()),
+             ("block", pa.int64()),
+             ("embedding",
+              embeddings.schema().base_schema.field("embedding").type)]
+        ),
+        out_schema=part_schema, op="knn_join_groups",
+    )
+    return exact_segment_fold(
+        partials.sort("q_id"), key_cols=["q_id"], fold=merge_topk,
+        raw_schema=part_schema, out_schema=out_schema, op="knn_join_merge",
+    )
+
+
 class HyperplaneLSH:
     """Actor-pool stage: embedding → LSH bucket id (sign bits of
     ``n_planes`` random hyperplane projections, fixed seed)."""

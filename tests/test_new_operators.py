@@ -359,6 +359,35 @@ def test_exact_segment_fold_unit(ray_session):
         out_schema=out, op="unit3").count() == 0
 
 
+def test_knn_join_matches_numpy(ray_session):
+    """Exact k-NN self-join over block-pair groups equals a single
+    dense numpy pass, ranks and ties included."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n, d, k = 120, 16, 4
+    mat = rng.normal(size=(n, d))
+    emb = pa.table(
+        {"vec_id": pa.array(np.arange(n), type=pa.int64()),
+         "embedding": pa.array([row.tolist() for row in mat])}
+    )
+    out = _collect(
+        similarity.knn_join(rd.from_arrow(emb).repartition(6),
+                            k=k, n_blocks=3)
+    ).to_pylist()
+    assert len(out) == n * k
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["n_id"]))
+    for q in range(n):
+        want = np.lexsort((np.arange(n), -sims[q]))[:k].tolist()
+        got = [nid for _, nid in sorted(by_q[q])]
+        assert got == want
+
+
 def test_joins_exact_under_hot_key_splits(ray_session):
     """A join key with thousands of left rows spans many sorted
     blocks; fragments without the right-side row would previously emit
