@@ -46,6 +46,19 @@ class PrepAnnotate:
 
 KEEP_MIN_OPEN_CAP = 4_000_000  # driver bound on boundary keeper rows
 
+# Output schema shared by PrepAnnotate and CurateAnnotate — the typed
+# fallback for the all-documents-gated-away edge (an executed-empty Ray
+# dataset carries no schema at all, so it cannot be derived there).
+ANNOTATE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("pred_lang", pa.string()),
+        ("n_chars", pa.int64()),
+        ("quality_score", pa.float64()),
+        ("fingerprint", pa.int64()),
+    ]
+)
+
 
 def _keep_first_block(batch: pa.Table) -> pa.Table:
     """Sorted-by-fingerprint block → the min-doc_id row per fingerprint
@@ -69,21 +82,36 @@ def _keep_first_block(batch: pa.Table) -> pa.Table:
     return kept.append_column("__open", pa.array(is_open))
 
 
-def dedup_keep_min(ann):
+def dedup_keep_min(ann, empty_schema: pa.Schema | None = None):
     """Exact-dedup keep-min-doc_id per fingerprint over an annotated
     Dataset, EXACT under hot-key block splits: one sort on fingerprint,
     block-local keep-first, then the <= 2-per-block boundary keepers
     (capped, loud error) re-fold on the driver and union back.  The
     min-per-key reduction is associative, so folding local minima of a
-    split run yields the global minimum."""
+    split run yields the global minimum.
+
+    ``empty_schema``: when an upstream gate rejects EVERY document the
+    input dataset is executed-empty and schema-less (Ray drops empty
+    blocks), so the output schema cannot be derived; callers that know
+    their annotate schema pass it here to keep downstream sample/write
+    stages typed.  Without it the empty result is schema-less but valid.
+    """
     from .dedup import _segment_bounds
 
     folded = ann.sort("fingerprint").map_batches(
         _keep_first_block, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    folded_schema = folded.schema()
+    if folded_schema is None:
+        # all documents gated away upstream (seen at 1M-doc volume)
+        if empty_schema is not None:
+            import ray.data as rd
+
+            return rd.from_arrow(empty_schema.empty_table())
+        return ann.limit(0)
     out_schema = pa.schema(
-        [f for f in folded.schema().base_schema if f.name != "__open"]
+        [f for f in folded_schema.base_schema if f.name != "__open"]
     )
 
     def keep_closed(batch: pa.Table) -> pa.Table:

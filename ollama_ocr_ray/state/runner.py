@@ -331,6 +331,9 @@ def _run_two_phase(
         if os.path.isdir(stale):
             shutil.rmtree(stale)
     out.write_parquet(tmp_data, **(write_kwargs or {}))
+    # a 0-row write (every document gated away) creates no directory;
+    # commit an empty one so resume/read see a valid finalized export
+    os.makedirs(tmp_data, exist_ok=True)
     os.replace(tmp_data, data_dir)
     import pyarrow.dataset as pads
 
@@ -358,10 +361,10 @@ def run_prep(
     partitions, then the global exact-dedup keep-min-doc_id (+ optional
     seeded shuffle).  See ``_run_two_phase`` for the checkpoint
     protocol."""
-    from ..functions.prep import PrepAnnotate, dedup_keep_min
+    from ..functions.prep import ANNOTATE_SCHEMA, PrepAnnotate, dedup_keep_min
 
     def build_finalize(ann):
-        out = dedup_keep_min(ann)
+        out = dedup_keep_min(ann, empty_schema=ANNOTATE_SCHEMA)
         if shuffle_seed is not None:
             out = out.random_shuffle(seed=shuffle_seed)
         return out
@@ -396,11 +399,12 @@ def run_curate(
     phrase-repetition gated annotate partitions, then the global
     exact-dedup + seeded stratified sample per predicted language.
     Same checkpoint protocol as ``run_prep`` (``_run_two_phase``)."""
-    from ..functions.prep import CurateAnnotate, dedup_keep_min
+    from ..functions.prep import ANNOTATE_SCHEMA, CurateAnnotate, dedup_keep_min
     from ..functions.sampling import sample_stratified
 
     def build_finalize(ann):
-        return sample_stratified(dedup_keep_min(ann),
+        return sample_stratified(dedup_keep_min(ann,
+                                                empty_schema=ANNOTATE_SCHEMA),
                                  stratum_col="pred_lang",
                                  k=sample_k, seed=sample_seed,
                                  fan_in=fan_in)

@@ -307,6 +307,34 @@ def test_keep_min_and_droplist_exact_under_hot_key_splits(ray_session):
     assert kept == [("fpA", 1), ("fpB", 2), ("hotfp", 10)]
 
 
+def test_dedup_keep_min_empty_input(ray_session):
+    """An upstream gate can drop EVERY document (seen at 1M-doc volume
+    with a stopword-free synthetic corpus): the fold path then sees a
+    schema-less empty dataset and must return empty with the annotate
+    schema intact, not crash on ``folded.schema()``."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.prep import dedup_keep_min
+
+    ann = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "fingerprint": pa.array(["fpA", "fpB"]),
+            "n_chars": pa.array([5, 5], type=pa.int64()),
+        }
+    )
+    from ollama_ocr_ray.functions.prep import ANNOTATE_SCHEMA
+
+    empty = rd.from_arrow(ann).filter(lambda r: False)
+    # without a fallback schema: empty and schema-less, but no crash
+    out = dedup_keep_min(empty)
+    assert out.count() == 0
+    # runner path: the known annotate schema keeps downstream typed
+    typed = dedup_keep_min(empty, empty_schema=ANNOTATE_SCHEMA)
+    assert typed.count() == 0
+    assert typed.schema().names == ANNOTATE_SCHEMA.names
+
+
 def test_exact_segment_fold_unit(ray_session):
     """Direct unit test of the boundary-routing helper: a key spanning
     two blocks (deterministic via union of single-block datasets) folds

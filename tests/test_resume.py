@@ -256,6 +256,31 @@ def test_prep_append_new_partition(ray_session, docs_shards, tmp_path):
     assert rd.read_parquet(s2["data_dir"]).count() == s1["rows_kept"]
 
 
+def test_prep_all_documents_gated_finalizes_empty(ray_session, tmp_path):
+    """A gate rejecting EVERY document (seen at 1M-doc volume with a
+    stopword-free corpus) must still finalize: empty typed export, a
+    committed data dir, and a clean resume — not a schema-derivation
+    crash in dedup_keep_min or a missing-tmp-dir os.replace failure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ollama_ocr_ray.state.runner import run_prep
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                  "text": ["xqz bbb ccc"] * 50}),
+        os.path.join(src, "docs-0.parquet"),
+    )
+    out = str(tmp_path / "prep")
+    s1 = run_prep(src, out, quality_threshold=1.0)
+    assert s1["status"] == "done" and s1["rows_kept"] == 0
+    assert os.path.isdir(s1["data_dir"])
+    s2 = run_prep(src, out, quality_threshold=1.0)
+    assert s2["rows_kept"] == 0 and s2["finalized"] is False
+
+
 def test_prep_one_bad_partition_commits_others(ray_session, docs_shards,
                                                tmp_path):
     """A corrupt input file fails ITS partition but every other
