@@ -427,10 +427,15 @@ def _pack_shard_task(shard_dir: str, tmp_dir: str, capacity: int,
                      batch_rows: int = 8192) -> dict:
     """Pack ONE selected shard inside a single Ray task: stream the
     shard's (doc_id, text) rows, run next-fit-decreasing packing +
-    concatenation per batch (``packed_examples_block``), write one
-    parquet.  Pack-id uniqueness holds across batches and shards
-    because both partition the doc_id space.  Same raw-task escape
-    hatch and SHARED-FS requirement as ``_annotate_file_task``."""
+    concatenation per ``batch_rows``-row unit (``packed_examples_block``),
+    write one parquet.  The select phase writes one file per exchange
+    block — often tiny (11-row files observed at 1M-doc volume) — so
+    rows are COALESCED across files/row-groups up to ``batch_rows``
+    before packing; packing tiny units one-per-file leaves packs ~25%
+    full.  Pack-id uniqueness holds across units and shards because
+    both partition the doc_id space (units are disjoint doc sets, so
+    their min-doc_id prefixes differ).  Same raw-task escape hatch and
+    SHARED-FS requirement as ``_annotate_file_task``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -447,20 +452,36 @@ def _pack_shard_task(shard_dir: str, tmp_dir: str, capacity: int,
     )
     writer = None
     n_docs = n_packs = n_tokens = 0
+    pending: list = []
+    pending_rows = 0
+
+    def _flush():
+        nonlocal writer, n_docs, n_packs, n_tokens, pending, pending_rows
+        t = packed_examples_block(
+            pa.Table.from_batches(pending).combine_chunks(),
+            capacity=capacity,
+        )
+        pending, pending_rows = [], 0
+        if writer is None:
+            writer = pq.ParquetWriter(out_path, t.schema)
+        writer.write_table(t)
+        n_packs += t.num_rows
+        n_docs += int(np.sum(t.column("n_docs").to_numpy()))
+        n_tokens += int(np.sum(t.column("n_tokens").to_numpy()))
+
     try:
         for path in files:
             pf = pq.ParquetFile(path)
             for rb in pf.iter_batches(batch_size=batch_rows,
                                       columns=["doc_id", "text"]):
-                t = packed_examples_block(
-                    pa.Table.from_batches([rb]), capacity=capacity
-                )
-                if writer is None:
-                    writer = pq.ParquetWriter(out_path, t.schema)
-                writer.write_table(t)
-                n_packs += t.num_rows
-                n_docs += int(np.sum(t.column("n_docs").to_numpy()))
-                n_tokens += int(np.sum(t.column("n_tokens").to_numpy()))
+                if rb.num_rows == 0:
+                    continue
+                pending.append(rb)
+                pending_rows += rb.num_rows
+                if pending_rows >= batch_rows:
+                    _flush()
+        if pending:
+            _flush()
         if writer is None:  # empty shard: still commit the schema
             t = packed_examples_block(
                 pa.table({"doc_id": pa.array([], type=pa.int64()),

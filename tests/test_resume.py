@@ -385,3 +385,43 @@ def test_export_packed_shards_run_and_resume(ray_session, docs_shards,
                     capacity=128, n_shards=4)
     assert s4["selected_fresh"] is False and s4["shards_run"] == 4
     assert s4["docs"] == s2["docs"]
+
+
+def test_pack_shard_task_coalesces_tiny_files(tmp_path):
+    """The select phase writes one file per exchange block — at volume
+    these were 11-row files and per-file packing left packs ~25% full.
+    _pack_shard_task must coalesce rows across files up to batch_rows
+    so NFD sees real units: near-capacity mean fill, exactly-once docs,
+    globally-unique pack ids."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ollama_ocr_ray.state.runner import _pack_shard_task
+
+    shard = tmp_path / "shard=0"
+    shard.mkdir()
+    did = 0
+    for f in range(30):  # 30 tiny files x 10 docs x ~10 tokens
+        ids = list(range(did, did + 10))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "text": ["tok " * 9 + "tok"] * 10}),
+            str(shard / f"blk-{f:03d}.parquet"),
+        )
+        did += 10
+    out = tmp_path / "out"
+    stats = _pack_shard_task(str(shard), str(out), capacity=100)
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(str(out / "*.parquet"))]
+    )
+    assert stats["docs"] == 300 and int(pc.sum(t.column("n_docs")).as_py()) == 300
+    assert t.num_rows == stats["packs"]
+    # 300 docs x 10 tokens / capacity 100 -> 30 full packs optimal;
+    # per-file packing would emit 30 packs of 3.3 docs (fill 0.33)
+    assert stats["packs"] <= 32
+    nonov = t.filter(pc.invert(t.column("overflow")))
+    assert float(pc.mean(nonov.column("n_tokens")).as_py()) >= 90
+    assert len(set(t.column("pack_id").to_pylist())) == t.num_rows
