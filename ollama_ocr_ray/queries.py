@@ -656,6 +656,49 @@ def q_source_mix(sf_dir: str):
     )
 
 
+def q_budget_select(sf_dir: str):
+    """Token-budget data selection: keep the highest-quality docs
+    until a 12k-token budget fills (quality DESC, doc_id tiebreak,
+    inclusive running total).  One text pass, one sort exchange, then
+    a driver-bounded block prefix-sum — see functions/selection.py.
+    Result is the per-language doc/token profile of the selection."""
+    from ray.data.aggregate import Sum
+
+    from .functions import selection as fsel
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    sel = fsel.select_token_budget(ds, budget=12_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "toks": batch.column("n_tokens"),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate([("toks", "sum"), ("one", "sum")])
+
+    agg = sel.map_batches(partial, batch_format="pyarrow").groupby(
+        "lang"
+    ).aggregate(
+        Sum("toks_sum", alias_name="sum_tokens"),
+        Sum("one_sum", alias_name="n_docs"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+                "sum_tokens": batch.column("sum_tokens").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_brand_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
@@ -1191,6 +1234,7 @@ def queries() -> dict:
         "docs_sample_mod": q_docs_sample_mod,
         "lang_sample": q_lang_sample,
         "source_mix": q_source_mix,
+        "budget_select": q_budget_select,
         "chars_quantiles": q_chars_quantiles,
         "top_docs": q_top_docs,
         # --- relational / windows ---
@@ -1964,5 +2008,27 @@ def oracle_sql() -> dict:
                CAST(TRUE AS BOOLEAN) AS packed_once,
                CAST(TRUE AS BOOLEAN) AS capacity_respected
         FROM sel JOIN documents doc ON doc.doc_id = sel.doc_id
+    """
+    # budget_select: inclusive running-total cut over the total order
+    # (quality DESC, doc_id) — the ORDER BY includes doc_id so RANGE
+    # and ROWS window frames coincide (no peer rows) and both sides
+    # compare the SAME bit-identical doubles (quality_score contract).
+    d["budget_select"] = f"""
+        WITH q AS ({d["quality_score"]}),
+        t AS ({d["doc_token_stats"]}),
+        ranked AS (
+          SELECT doc.lang, t.n_tokens,
+                 sum(t.n_tokens)
+                   OVER (ORDER BY q.quality_score DESC, q.doc_id)
+                   AS cum
+          FROM q
+          JOIN t ON t.doc_id = q.doc_id
+          JOIN documents doc ON doc.doc_id = q.doc_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM ranked WHERE cum <= 12000
+        GROUP BY lang
     """
     return d

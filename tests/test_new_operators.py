@@ -1083,3 +1083,65 @@ def test_mix_by_rate_thresholds(ray_session):
                        seed=6).take_all()
     assert sorted(r["doc_id"] for r in out3) != \
         sorted(r["doc_id"] for r in out1)
+
+
+def test_select_token_budget_matches_bruteforce(ray_session):
+    """Token-budget selection vs a local brute force over a tie-heavy
+    corpus (5 templates shared by 400 docs across 20 blocks — equal
+    quality_score runs WILL span sorted blocks): the doc_id tiebreak
+    makes the order total, so block boundaries cannot change the
+    selected set.  Also the budget edges: 0 selects nothing, >= total
+    selects everything."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.selection import select_token_budget
+    from ollama_ocr_ray.functions.text import (quality_score_batch,
+                                               token_stats_batch)
+
+    templates = [
+        "the quick value of a market, and a signal in the data.",
+        "alpha beta gamma delta market signal report data",
+        "the and of a in to the and of a in to",
+        "one two three four five six seven eight nine ten!",
+        "a report; the value, and a metric of the model.",
+    ]
+    n = 400
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), type=pa.int64()),
+            "text": pa.array([templates[i % 5] for i in range(n)]),
+            "lang": pa.array(["en"] * n),
+        }
+    )
+    # local brute force on the same kernels
+    q = quality_score_batch(docs).column("quality_score").to_numpy(
+        zero_copy_only=False
+    )
+    toks = token_stats_batch(docs.select(["doc_id", "text"])).column(
+        "n_tokens"
+    ).to_numpy(zero_copy_only=False)
+    order = sorted(range(n), key=lambda i: (-q[i], i))
+    budget = int(toks.sum()) // 3
+
+    def brute(b):
+        run, keep = 0, set()
+        for i in order:
+            run += int(toks[i])
+            if run > b:
+                break
+            keep.add(i)
+        return keep
+
+    ds = rd.from_arrow(docs).repartition(20)
+    got = {
+        r["doc_id"]
+        for r in _collect(select_token_budget(ds, budget)).to_pylist()
+    }
+    assert got == brute(budget) and 0 < len(got) < n
+
+    assert select_token_budget(ds, 0).count() == 0
+    assert select_token_budget(ds, int(toks.sum())).count() == n
+    # empty input: typed empty result
+    empty = rd.from_arrow(docs).filter(lambda r: False)
+    out = select_token_budget(empty, 100)
+    assert out.count() == 0
