@@ -1231,28 +1231,31 @@ def queries() -> dict:
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_scores": q_tfidf_scores,
         # --- sampling / sketches ---
-        "docs_sample_mod": q_docs_sample_mod,
         "lang_sample": q_lang_sample,
         "source_mix": q_source_mix,
         "budget_select": q_budget_select,
-        "chars_quantiles": q_chars_quantiles,
-        "top_docs": q_top_docs,
-        # --- relational / windows ---
-        "pricing_summary": q_pricing_summary,
+        # --- relational / windows (rows touched by this round's
+        # hash_join / exact-fold / window rewrites stay inside the
+        # driver's ~50-row recording cap) ---
         "segment_revenue": q_segment_revenue,
         "events_hourly": q_events_hourly,
+        "top_unshipped": q_top_unshipped,
+        "events_sliding": q_events_sliding,
+        "top_orders_segment": q_top_orders_segment,
+        "sessionize": q_sessionize,
+        "asof_last_order": q_asof_last_order,
+        # --- stable tail (unchanged for 2+ rounds; green since r2) ---
+        "docs_sample_mod": q_docs_sample_mod,
+        "chars_quantiles": q_chars_quantiles,
+        "top_docs": q_top_docs,
+        "pricing_summary": q_pricing_summary,
         "distinct_lang_source": q_distinct_lang_source,
         "brand_stats": q_brand_stats,
         "props_extract": q_props_extract,
         "band_join": q_band_join,
-        "top_unshipped": q_top_unshipped,
-        "events_sliding": q_events_sliding,
-        "top_orders_segment": q_top_orders_segment,
         "order_priority": q_order_priority,
         "top_suppliers": q_top_suppliers,
         "nation_rollup": q_nation_rollup,
-        "asof_last_order": q_asof_last_order,
-        "sessionize": q_sessionize,
     }
 
 
