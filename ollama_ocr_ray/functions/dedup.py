@@ -1020,3 +1020,112 @@ def dup_clusters(pairs, *, max_iter: int = 16,
         ),
         batch_format="pyarrow",
     )
+
+
+# --- duplicated-substring statistics (Lee et al. 2022 shape) ---------------
+
+DUP_SUBSTR_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_dup", pa.int64())]
+)
+
+
+def dup_substring_stats(docs, *, k: int = 25, stride: int = 1):
+    """Per-document duplicated-substring mass: how many of a document's
+    DISTINCT length-``k`` character windows also occur in at least one
+    OTHER document.  The diagnostic behind substring-level dedup
+    ("Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, arXiv:2107.06499): a high count marks boilerplate,
+    mirrored articles, and template farms that document-level dedup
+    misses.  Returns (doc_id, n_dup) for documents with n_dup >= 1.
+
+    Plan (the suffix-array semantics, Ray-Data-shaped):
+
+    - one streaming pass hashes every window (vectorized sliding-window
+      polynomial over codepoints, uint64 wraparound — the same kernel
+      family as ``ngram_band_rows``; collisions under-merge with
+      probability ~(#windows)^2 / 2^65, documented, never verified
+      wrong-way because equal text always hashes equal) and emits the
+      per-document DISTINCT (h, doc_id) pairs — a document lives in one
+      row, so the distinct step is block-local and complete;
+    - ONE sort on ``h`` co-locates equal windows; the per-segment
+      "seen in >= 2 docs" fold runs under ``folds.exact_segment_fold``
+      (equal-h runs splitting across sort blocks go to the bounded
+      driver residual, so a hot window — a viral boilerplate line —
+      cannot corrupt the count);
+    - per-block partial (doc_id, n_dup) sums, then a doc-keyed groupby.
+
+    The exchange is O(total distinct windows) — that IS the operator
+    (suffix arrays pay the same); ``stride`` > 1 samples every
+    stride-th window as the documented cost knob at the 100 TB scale
+    (stride 1 = exact).
+    """
+    import ray.data  # noqa: F401  (Dataset ops only)
+
+    from .folds import exact_segment_fold
+    from .text import codepoints_of
+
+    base = np.uint64(1099511628211)
+    pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    def window_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs, owners = [], []
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            cps = codepoints_of(t).astype(np.uint64)
+            if len(cps) < k:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(cps, k)[::stride]
+            h = np.unique((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+            hs.append(h)
+            owners.append(np.full(len(h), did, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {"h": pa.array([], type=pa.int64()),
+                 "doc_id": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {"h": pa.array(np.concatenate(hs).view(np.int64)),
+             "doc_id": pa.array(np.concatenate(owners))}
+        )
+
+    pairs = docs.map_batches(window_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    raw_schema = pa.schema([("h", pa.int64()), ("doc_id", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return DUP_SUBSTR_SCHEMA.empty_table()
+        t = t.combine_chunks()
+        starts, ends = _segment_bounds(t.column("h"))
+        sizes = ends - starts
+        mask = np.repeat(sizes >= 2, sizes)
+        if not mask.any():
+            return DUP_SUBSTR_SCHEMA.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)[mask]
+        agg = pa.table({"doc_id": pa.array(doc)}).group_by(
+            "doc_id"
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {"doc_id": agg.column("doc_id"),
+             "n_dup": agg.column("count_all").cast(pa.int64())}
+        ).cast(DUP_SUBSTR_SCHEMA)
+
+    partials = exact_segment_fold(
+        pairs.sort("h"), key_cols=["h"], fold=fold,
+        raw_schema=raw_schema, out_schema=DUP_SUBSTR_SCHEMA,
+        op="dup_substring_stats",
+    )
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby("doc_id").aggregate(
+        Sum("n_dup", alias_name="n_dup")
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return DUP_SUBSTR_SCHEMA.empty_table()
+        return b.select(["doc_id", "n_dup"]).cast(DUP_SUBSTR_SCHEMA)
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -699,6 +699,30 @@ def q_budget_select(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_lm_familiarity(sf_dir: str):
+    """CCNet-style count-LM quality scoring: train a top-256 bigram
+    model on the corpus (pass 1, bounded broadcast), score every doc's
+    model coverage (pass 2, one streaming scan) — functions/lm.py.
+    256 (not the production-scale 4096 default) because the synthetic
+    corpus has ~900 distinct bigrams: the cut must actually bite for
+    the score to discriminate (measured spread 833-6296 bp)."""
+    from .functions.lm import lm_familiarity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_familiarity(ds, vocab_size=256)
+
+
+def q_dup_substrings(sf_dir: str):
+    """Lee-et-al-style duplicated-substring mass: per doc, how many of
+    its distinct 25-char windows occur in >= 2 documents (dedup.py
+    ``dup_substring_stats``; one window-hash pass, one sort, exact
+    segment fold)."""
+    from .functions.dedup import dup_substring_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_substring_stats(ds, k=25)
+
+
 def q_brand_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
@@ -1234,6 +1258,8 @@ def queries() -> dict:
         "lang_sample": q_lang_sample,
         "source_mix": q_source_mix,
         "budget_select": q_budget_select,
+        "lm_familiarity": q_lm_familiarity,
+        "dup_substrings": q_dup_substrings,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -2033,5 +2059,53 @@ def oracle_sql() -> dict:
                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         FROM ranked WHERE cum <= 12000
         GROUP BY lang
+    """
+    # lm_familiarity: the top-256 (count DESC, bigram ASC) cut is
+    # deterministic on both sides; the score is pure integer division
+    # so no float ever enters the compare.
+    d["lm_familiarity"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_LTOKS_SQL} AS t FROM documents
+        ), bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS g
+          FROM tok WHERE len(t) >= 2
+        ), lm AS (
+          SELECT g FROM (
+            SELECT g, count(*) AS n FROM bg GROUP BY g
+            ORDER BY n DESC, g LIMIT 256
+          )
+        ), sc AS (
+          SELECT b.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(lm.g) AS BIGINT) AS n_seen
+          FROM bg b LEFT JOIN lm ON lm.g = b.g
+          GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(sc.n_seen, 0) AS BIGINT) AS n_seen,
+               CAST(CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+                    THEN (10000 * sc.n_seen) // sc.n_bigrams
+                    ELSE 0 END AS BIGINT) AS familiarity_bp
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+    # dup_substrings: the oracle groups raw substrings; the Ray side
+    # groups 64-bit window hashes — only the per-doc counts compare
+    # (hash collisions bounded ~(#windows)^2/2^65, see dedup.py).
+    d["dup_substrings"] = """
+        WITH pos AS (
+          SELECT doc_id, unnest(range(1, greatest(length(text) - 23, 1)))
+                 AS i
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT p.doc_id, substr(d.text, CAST(p.i AS INT), 25)
+                 AS s
+          FROM pos p JOIN documents d USING (doc_id)
+        ), nd AS (
+          SELECT s FROM sh GROUP BY s HAVING count(*) >= 2
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        FROM sh JOIN nd USING (s) GROUP BY doc_id
     """
     return d

@@ -1145,3 +1145,101 @@ def test_select_token_budget_matches_bruteforce(ray_session):
     empty = rd.from_arrow(docs).filter(lambda r: False)
     out = select_token_budget(empty, 100)
     assert out.count() == 0
+
+
+def test_lm_familiarity_matches_bruteforce(ray_session):
+    """Bigram-LM coverage vs a local brute force, with a vocab cut that
+    actually bites (vocab_size=3 over 6 distinct bigrams) and a tie at
+    the cut boundary (two bigrams with equal count — the (count DESC,
+    bigram ASC) order must pick deterministically).  Also 0- and
+    1-token docs (n_bigrams = 0, familiarity 0)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.lm import lm_familiarity
+
+    texts = [
+        "a b a b c",        # bigrams: a b, b a, a b, b c
+        "a b c d",          # a b, b c, c d
+        "x y x y",          # x y, y x, x y
+        "d a",              # d a
+        "solo",             # 1 token -> 0 bigrams
+        "",                 # empty
+        "  a   b  ",        # padding: same bigram as 'a b'
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    # local brute force
+    grams_per_doc = []
+    for t in texts:
+        toks = [w for w in t.lower().split() if w]
+        grams_per_doc.append(
+            [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        )
+    counts = Counter(g for gs in grams_per_doc for g in gs)
+    model = set(
+        sorted(counts, key=lambda g: (-counts[g], g))[:3]
+    )
+    ds = rd.from_arrow(docs).repartition(3)
+    out = {
+        r["doc_id"]: r
+        for r in _collect(lm_familiarity(ds, vocab_size=3)).to_pylist()
+    }
+    assert len(out) == len(texts)
+    for i, gs in enumerate(grams_per_doc):
+        seen = sum(g in model for g in gs)
+        assert out[i]["n_bigrams"] == len(gs)
+        assert out[i]["n_seen"] == seen
+        want_bp = (10_000 * seen) // len(gs) if gs else 0
+        assert out[i]["familiarity_bp"] == want_bp
+    assert out[4]["n_bigrams"] == 0 and out[4]["familiarity_bp"] == 0
+
+
+def test_dup_substring_stats_matches_bruteforce(ray_session):
+    """Duplicated-window mass vs a local brute force over a corpus with
+    a HOT shared prefix (60 docs share one 30-char boilerplate line —
+    its window segments split across the 20 sort blocks, exercising the
+    exact_segment_fold residual), plus unique docs and short docs."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.dedup import dup_substring_stats
+
+    k = 12
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY "
+    texts = []
+    for i in range(60):                     # hot boilerplate + unique tail
+        texts.append(boiler + f"unique tail number {i} with words")
+    for i in range(20):                     # cross-doc shared prefix too
+        texts.append(f"completely distinct body {i} " * 3)
+    texts += ["short", ""]                  # below k -> no windows
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+
+    def windows(t):
+        return {t[i:i + k] for i in range(len(t) - k + 1)} \
+            if len(t) >= k else set()
+
+    wsets = [windows(t) for t in texts]
+    from collections import Counter
+    owner_counts = Counter()
+    for ws in wsets:
+        owner_counts.update(ws)
+    want = {
+        i: sum(owner_counts[w] >= 2 for w in ws)
+        for i, ws in enumerate(wsets)
+        if sum(owner_counts[w] >= 2 for w in ws) > 0
+    }
+
+    ds = rd.from_arrow(docs).repartition(20)
+    got = {
+        r["doc_id"]: r["n_dup"]
+        for r in _collect(dup_substring_stats(ds, k=k)).to_pylist()
+    }
+    assert got == want
+    assert all(i in got for i in range(60))      # hot docs all flagged
+    assert 80 not in got and 81 not in got       # below-k docs: no windows
