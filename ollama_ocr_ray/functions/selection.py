@@ -128,3 +128,76 @@ def select_token_budget(docs, budget: int):
         select_block, batch_size=None, batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def cap_per_group(ds, *, group_col: str, order_cols: list[str],
+                  descending: list[bool], k: int):
+    """Keep at most ``k`` rows per ``group_col`` value, best-first by
+    ``order_cols``/``descending`` — the per-domain/per-source cap of
+    web curation (RefinedWeb/C4 cap hosts so one template farm cannot
+    dominate the corpus).  The order must be made TOTAL by the caller
+    (include a unique id as the last order column) for a deterministic
+    result.
+
+    Scale plan: a per-block partial top-k bounds the exchange to
+    ``k x groups x blocks`` rows (same move as grouped top-N), then ONE
+    sort on (group, order) and a per-group first-k fold that is exact
+    under equal-key block splits (``folds.exact_segment_fold``; a hot
+    group's boundary rows go to the capped driver residual).  The fold
+    re-sorts each segment internally, so it is independent of residual
+    row order.
+    """
+    import pyarrow.compute as pc
+
+    from .folds import exact_segment_fold
+
+    sort_cols = [group_col] + list(order_cols)
+    sort_desc = [False] + list(descending)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[(c, "descending" if d else "ascending")
+                       for c, d in zip(sort_cols, sort_desc)],
+        )
+        batch = batch.take(idx).combine_chunks()
+        from .dedup import _segment_bounds
+
+        starts, ends = _segment_bounds(batch.column(group_col))
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for s, e in zip(starts, np.minimum(starts + k, ends)):
+            keep[s:e] = True
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(partial_topk, batch_size=None,
+                            batch_format="pyarrow", zero_copy_batch=True)
+    row_schema = pa.schema(
+        [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return row_schema.empty_table()
+        t = t.combine_chunks()
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(c, "descending" if d else "ascending")
+                       for c, d in zip(sort_cols, sort_desc)],
+        )
+        t = t.take(idx).combine_chunks()
+        from .dedup import _segment_bounds
+
+        starts, ends = _segment_bounds(t.column(group_col))
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for s, e in zip(starts, np.minimum(starts + k, ends)):
+            keep[s:e] = True
+        return t.filter(pa.array(keep)).cast(row_schema)
+
+    return exact_segment_fold(
+        pruned.sort(sort_cols, descending=sort_desc),
+        key_cols=[group_col], fold=fold,
+        raw_schema=row_schema, out_schema=row_schema, op="cap_per_group",
+    )

@@ -723,6 +723,47 @@ def q_dup_substrings(sf_dir: str):
     return dup_substring_stats(ds, k=25)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking: 200-codepoint windows every 150 (50
+    overlap) — one exchange-free streaming pass (functions/chunks.py)."""
+    from .functions.chunks import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, size=200, overlap=50)
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source document cap (RefinedWeb-style host cap): keep the 10
+    best docs per source by (quality DESC, doc_id) — the testdata has
+    25 docs per source, so the cap actually bites — partial top-k per
+    block, one sort, exact per-group first-k fold
+    (functions/selection.py ``cap_per_group``)."""
+    from .functions import text as ftext
+    from .functions.selection import cap_per_group
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source", "n_chars"])
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        q = ftext.quality_score_batch(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_chars": batch.column("n_chars"),
+                "quality_score": q.column("quality_score"),
+            }
+        )
+
+    ann = ds.map_batches(annotate, batch_format="pyarrow")
+    capped = cap_per_group(
+        ann, group_col="source",
+        order_cols=["quality_score", "doc_id"],
+        descending=[True, False], k=10,
+    )
+    return capped.select_columns(["doc_id", "source", "n_chars"])
+
+
 def q_brand_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
@@ -1260,6 +1301,8 @@ def queries() -> dict:
         "budget_select": q_budget_select,
         "lm_familiarity": q_lm_familiarity,
         "dup_substrings": q_dup_substrings,
+        "chunk_docs": q_chunk_docs,
+        "source_cap": q_source_cap,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -2107,5 +2150,35 @@ def oracle_sql() -> dict:
         )
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
         FROM sh JOIN nd USING (s) GROUP BY doc_id
+    """
+    # chunk_docs: codepoint windows — Arrow utf8_slice_codepoints and
+    # DuckDB substr both count codepoints, so text compares exactly.
+    d["chunk_docs"] = """
+        WITH pos AS (
+          SELECT doc_id, unnest(range(0, length(text), 150)) AS st
+          FROM documents WHERE length(text) > 0
+        )
+        SELECT p.doc_id,
+               CAST(p.st // 150 AS BIGINT) AS chunk_idx,
+               substr(d.text, CAST(p.st + 1 AS INT), 200) AS chunk_text,
+               CAST(least(200, length(d.text) - p.st) AS BIGINT)
+                 AS n_chunk_chars
+        FROM pos p JOIN documents d USING (doc_id)
+    """
+    # source_cap: (quality DESC, doc_id) is a total order and
+    # quality_score doubles are bit-identical on both sides (same
+    # contract budget_select relies on).
+    d["source_cap"] = f"""
+        WITH q AS ({d["quality_score"]}),
+        ranked AS (
+          SELECT doc.doc_id, doc.source, doc.n_chars,
+                 row_number() OVER (
+                   PARTITION BY doc.source
+                   ORDER BY q.quality_score DESC, q.doc_id
+                 ) AS rk
+          FROM documents doc JOIN q ON q.doc_id = doc.doc_id
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rk <= 10
     """
     return d

@@ -1243,3 +1243,84 @@ def test_dup_substring_stats_matches_bruteforce(ray_session):
     assert got == want
     assert all(i in got for i in range(60))      # hot docs all flagged
     assert 80 not in got and 81 not in got       # below-k docs: no windows
+
+
+def test_chunk_documents_matches_bruteforce(ray_session):
+    """Overlapping-window chunking vs a local brute force: exact chunk
+    text/length at every boundary shape (multiple of stride, shorter
+    than size, shorter than overlap, exactly size, empty, unicode)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.chunks import chunk_documents
+
+    size, overlap = 10, 3
+    stride = size - overlap
+    texts = [
+        "abcdefghijklmnopqrstuvwxyz",   # 26: chunks at 0,7,14,21
+        "abcdefghij",                    # exactly size
+        "abcdefg",                       # exactly stride
+        "ab",                            # below overlap
+        "",                              # empty -> no chunks
+        "héllo wörld ünïcode tail!!",    # unicode codepoints
+        "x" * 21,                        # 3 chunks, last = size
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    want = []
+    for i, t in enumerate(texts):
+        for j, st in enumerate(range(0, max(len(t), 0), stride)):
+            if st >= len(t):
+                break
+            want.append((i, j, t[st:st + size], min(size, len(t) - st)))
+    ds = rd.from_arrow(docs).repartition(3)
+    out = _collect(chunk_documents(ds, size=size, overlap=overlap))
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_chars"])
+        for r in out.to_pylist()
+    )
+    assert got == sorted(want)
+
+    with pytest.raises(ValueError):
+        chunk_documents(ds, size=5, overlap=5)
+
+
+def test_cap_per_group_exact_under_splits(ray_session):
+    """Per-group cap vs brute force with ONE hot group spanning ~20
+    blocks (its sorted run must split, exercising the
+    exact_segment_fold residual) plus groups below/at/above k."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.selection import cap_per_group
+
+    rows = []
+    for i in range(400):                       # hot group
+        rows.append(("hot", i, float(i % 7)))
+    for g, n in (("small", 3), ("exact", 5), ("big", 40)):
+        for i in range(n):
+            rows.append((g, 1000 + len(rows), float(i % 3)))
+    t = pa.table(
+        {
+            "grp": pa.array([r[0] for r in rows]),
+            "id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "score": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+    k = 5
+    want = set()
+    by_grp = {}
+    for g, i, s in rows:
+        by_grp.setdefault(g, []).append((-s, i))
+    for g, lst in by_grp.items():
+        for _, i in sorted(lst)[:k]:
+            want.add((g, i))
+
+    ds = rd.from_arrow(t).repartition(20)
+    out = cap_per_group(ds, group_col="grp",
+                        order_cols=["score", "id"],
+                        descending=[True, False], k=k)
+    got = {(r["grp"], r["id"]) for r in _collect(out).to_pylist()}
+    assert got == want
+    assert sum(1 for g, _ in got if g == "hot") == k
+    assert sum(1 for g, _ in got if g == "small") == 3
