@@ -1129,3 +1129,40 @@ def dup_substring_stats(docs, *, k: int = 25, stride: int = 1):
 
     return out.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def dedup_keep_best(docs, *, keep_cols: tuple = ("lang", "n_chars")):
+    """Exact dedup keeping the BEST copy per duplicate group (highest
+    ``quality_score``, doc_id tiebreak) instead of the min-id copy —
+    what a curation pipeline actually wants when duplicate crawls
+    differ in extraction quality.  Pure composition: content-hash
+    annotate (one text pass, text dropped before the exchange) +
+    ``selection.cap_per_group(k=1)`` (partial top-1 per block, one
+    sort, exact per-group fold)."""
+    from .selection import cap_per_group
+    from .text import quality_score_batch
+
+    cols = list(keep_cols)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        q = quality_score_batch(batch)
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "h": pa.array(
+                    [hashlib.sha256(t.encode("utf-8")).hexdigest()
+                     for t in texts]
+                ),
+                "doc_id": batch.column("doc_id"),
+                **{c: batch.column(c) for c in cols},
+                "quality_score": q.column("quality_score"),
+            }
+        )
+
+    ann = docs.map_batches(annotate, batch_format="pyarrow")
+    best = cap_per_group(
+        ann, group_col="h", order_cols=["quality_score", "doc_id"],
+        descending=[True, False], k=1,
+    )
+    return best.select_columns(["doc_id"] + cols)

