@@ -201,3 +201,34 @@ def cap_per_group(ds, *, group_col: str, order_cols: list[str],
         key_cols=[group_col], fold=fold,
         raw_schema=row_schema, out_schema=row_schema, op="cap_per_group",
     )
+
+
+def quantile_gate(docs, *, value_col: str, by: str, q: float = 0.5,
+                  keep_cols: tuple = ("doc_id",)):
+    """Adaptive per-group filter: keep rows whose ``value_col`` is >=
+    their group's exact ``q``-quantile — "drop the shortest half per
+    language" style gating, where the threshold ADAPTS to each group
+    instead of a global magic number.
+
+    Scale plan: the thresholds come from ``sketches.grouped_quantiles``
+    (histogram-sized exchange, exact `quantile_disc` semantics); the
+    per-group threshold table is group-count-sized, so it broadcasts
+    (driver take_all + closure capture = ray.put once per task) and the
+    gate itself is one exchange-free streaming filter."""
+    from .sketches import grouped_quantiles
+
+    name = f"p{q * 100:g}".replace(".", "_")
+    rows = grouped_quantiles(docs, by, value_col, qs=(q,)).take_all()
+    thresh = {r[by]: r[name] for r in rows}
+    cols = list(keep_cols) + [by, value_col]
+
+    def gate(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keys = batch.column(by).to_pylist()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cut = np.fromiter((thresh[k] for k in keys), dtype=np.int64,
+                          count=len(keys))
+        return batch.filter(pa.array(vals >= cut)).select(cols)
+
+    return docs.map_batches(gate, batch_format="pyarrow",
+                            zero_copy_batch=True)

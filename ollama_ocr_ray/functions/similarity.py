@@ -636,3 +636,89 @@ def ivf_ann(embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
         )
 
     return cand.groupby("q_id").map_groups(topk, batch_format="pyarrow")
+
+
+def semdedup_pairs_clustered(embeddings, *, threshold: float,
+                             sample_matrix: np.ndarray,
+                             n_clusters: int = 16):
+    """SemDeDup-style clustered near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540 shape): k-means centroids over a bounded
+    driver-side sample (broadcast once), one streaming assignment
+    pass, ONE sort on the cluster id, and per-cluster all-pairs cosine
+    under ``folds.exact_segment_fold`` (a hot cluster's boundary rows
+    go to the capped driver residual).  Emits (a_id, b_id, sim) with
+    a_id < b_id and sim >= threshold.
+
+    Vs the exact block-pair plan (``embedding_near_dup_blocked``): the
+    exchange carries each vector ONCE (not B times) and compute drops
+    from O(N²) to O(sum cluster²) — the recall trade is that pairs
+    straddling a cluster boundary are missed, which the
+    ``semdedup_gate`` query measures against the exact plan.
+    """
+    from .folds import exact_segment_fold
+
+    cent = _kmeans(sample_matrix.astype(np.float64), n_clusters)
+    cn = _normalize(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids, mat = _batch_matrix(batch)
+        a = np.argmax(_normalize(mat) @ cn.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(a),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding").combine_chunks(),
+            }
+        )
+
+    rows = embeddings.map_batches(assign, batch_format="pyarrow")
+    emb_type = [t for n, t in zip(embeddings.schema().names,
+                                  embeddings.schema().types)
+                if n == "embedding"][0]
+    raw_schema = pa.schema(
+        [("cluster", pa.int64()), ("vec_id", pa.int64()),
+         ("embedding", emb_type)]
+    )
+    out_schema = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        cl = np.asarray(t.column("cluster"))
+        bounds = np.concatenate(
+            [[0], np.nonzero(cl[1:] != cl[:-1])[0] + 1, [len(cl)]]
+        )
+        a_out, b_out, s_out = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            sub = t.slice(s, e - s)
+            ids, mat = _batch_matrix(sub)
+            if len(ids) < 2:
+                continue
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            mn = _normalize(mat)
+            sims = mn @ mn.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            a_out.append(ids[iu[hit]])
+            b_out.append(ids[ju[hit]])
+            s_out.append(sims[iu[hit], ju[hit]])
+        if not a_out:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(a_out), type=pa.int64()),
+                "b_id": pa.array(np.concatenate(b_out), type=pa.int64()),
+                "sim": pa.array(np.concatenate(s_out), type=pa.float64()),
+            }
+        )
+
+    return exact_segment_fold(
+        rows.sort("cluster"), key_cols=["cluster"], fold=fold,
+        raw_schema=raw_schema, out_schema=out_schema,
+        op="semdedup_pairs_clustered",
+    )

@@ -224,6 +224,74 @@ def q_embedding_near_dup(sf_dir: str):
     return out.select_columns(["a_id", "b_id"])
 
 
+def q_emb_dedup_apply(sf_dir: str):
+    """Semantic dedup APPLY (SemDeDup keep-rule, exact form): drop
+    every vector that has a cosine-near-duplicate with a smaller
+    vec_id; keep the rest.  Pairs from the exact block-pair plan
+    (a_id < b_id by construction), droplist = the b side, then the
+    co-partitioned left-anti join — the same apply shape as
+    dedup_apply, over embeddings."""
+    emb = _read(sf_dir, "embeddings",
+                columns=["vec_id", "embedding", "label"], onb=8)
+    pairs = similarity.embedding_near_dup_blocked(
+        emb.select_columns(["vec_id", "embedding"]), threshold=0.45
+    )
+
+    def droplist(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("b_id")})
+
+    drop = pairs.map_batches(droplist, batch_format="pyarrow")
+    kept = relational.anti_join(
+        emb.select_columns(["vec_id", "label"]), drop,
+        key="vec_id", left_cols=["label"],
+    )
+    return kept
+
+
+def q_semdedup_gate(sf_dir: str):
+    """Clustered-SemDeDup quality gate (the knn_lsh/media_features
+    pattern: a driver-checkable boolean over deterministic synthetic
+    input, because the testdata embeddings have NO true near-dups —
+    max pair cosine 0.51).  Plants 100 near-dup triples (cos ~0.999)
+    among 600 singletons, runs the clustered plan
+    (similarity.semdedup_pairs_clustered, threshold 0.9) against the
+    exact block-pair plan on the same vectors, and asserts precision
+    == 1 (clustered pairs are a subset by construction) and recall
+    >= 0.9 (near-identical vectors co-assign to a centroid)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    dim, groups, singles = 32, 100, 600
+    base = rng.standard_normal((groups, dim))
+    vecs = [base[g] + 0.005 * rng.standard_normal(dim)
+            for g in range(groups) for _ in range(3)]
+    vecs += list(rng.standard_normal((singles, dim)))
+    mat = np.asarray(vecs, dtype=np.float32)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(emb).repartition(8)
+    sample = mat[:256].astype(np.float64)
+    clus = similarity.semdedup_pairs_clustered(
+        ds, threshold=0.9, sample_matrix=sample, n_clusters=16
+    )
+    exact = similarity.embedding_near_dup_blocked(ds, threshold=0.9)
+    cd = {(r["a_id"], r["b_id"]) for r in clus.take_all()}
+    ed = {(r["a_id"], r["b_id"]) for r in exact.take_all()}
+    recall = len(cd & ed) / max(len(ed), 1)
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([len(ed)], type=pa.int64()),
+            "precision_ok": pa.array([cd <= ed]),
+            "recall_ok": pa.array([recall >= 0.9]),
+        }
+    )
+
+
 # --- rows-only queries (not SQL-expressible) --------------------------------
 
 
@@ -731,6 +799,16 @@ def q_dedup_keep_best(sf_dir: str):
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "lang", "n_chars"])
     return dedup_keep_best(ds)
+
+
+def q_quantile_gate(sf_dir: str):
+    """Adaptive per-language length gate: keep docs at or above their
+    language's exact median n_chars (selection.quantile_gate — exact
+    histogram quantiles broadcast, one exchange-free filter pass)."""
+    from .functions.selection import quantile_gate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return quantile_gate(ds, value_col="n_chars", by="lang", q=0.5)
 
 
 def q_chunk_docs(sf_dir: str):
@@ -1275,6 +1353,7 @@ def queries() -> dict:
         "media_features": q_media_features,
         "approx_users": q_approx_users,
         "pack_stats": q_pack_stats,
+        "semdedup_gate": q_semdedup_gate,
         # --- flagship pipelines ---
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
@@ -1295,14 +1374,11 @@ def queries() -> dict:
         "knn_join": q_knn_join,
         # --- text analysis --- (lang_summary is the warmup entry above)
         "doc_token_stats": q_doc_token_stats,
-        "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "top_2gram": q_top_2gram,
         "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
-        "vocab_top_terms": q_vocab_top_terms,
-        "tfidf_scores": q_tfidf_scores,
         # --- sampling / sketches ---
         "lang_sample": q_lang_sample,
         "source_mix": q_source_mix,
@@ -1312,6 +1388,8 @@ def queries() -> dict:
         "chunk_docs": q_chunk_docs,
         "source_cap": q_source_cap,
         "dedup_keep_best": q_dedup_keep_best,
+        "quantile_gate": q_quantile_gate,
+        "emb_dedup_apply": q_emb_dedup_apply,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -1327,6 +1405,9 @@ def queries() -> dict:
         # verified every session) ---
         "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "lang_id": q_lang_id,
+        "vocab_top_terms": q_vocab_top_terms,
+        "tfidf_scores": q_tfidf_scores,
         "docs_sample_mod": q_docs_sample_mod,
         "chars_quantiles": q_chars_quantiles,
         "top_docs": q_top_docs,
@@ -2209,5 +2290,36 @@ def oracle_sql() -> dict:
         )
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM ranked WHERE rk = 1
+    """
+    # quantile_gate: sketches.grouped_quantiles matches quantile_disc
+    # bit-for-bit (the chars_quantiles contract), so the gate compares
+    # in pure integers.
+    d["quantile_gate"] = """
+        WITH th AS (
+          SELECT lang, quantile_disc(n_chars, 0.5) AS p50
+          FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d JOIN th USING (lang)
+        WHERE d.n_chars >= th.p50
+    """
+    # emb_dedup_apply: keep vectors with no smaller near-duplicate
+    # (same 0.45 cosine threshold contract as embedding_near_dup).
+    d["emb_dedup_apply"] = """
+        SELECT v.vec_id, v.label FROM embeddings v
+        WHERE NOT EXISTS (
+          SELECT 1 FROM embeddings a
+          WHERE a.vec_id < v.vec_id
+            AND list_cosine_similarity(a.embedding, v.embedding) >= 0.45
+        )
+    """
+    # semdedup_gate: deterministic synthetic input (seeded), so all
+    # three values are constants — 100 planted triples = 300 exact
+    # pairs; the booleans are the actual clustered-vs-exact assertion
+    # computed Ray-side (knn_lsh gate pattern).
+    d["semdedup_gate"] = """
+        SELECT CAST(300 AS BIGINT) AS n_exact_pairs,
+               CAST(TRUE AS BOOLEAN) AS precision_ok,
+               CAST(TRUE AS BOOLEAN) AS recall_ok
     """
     return d

@@ -1380,3 +1380,100 @@ def test_dedup_keep_best_prefers_quality_over_min_id(ray_session):
         for r in _collect(dedup_keep_best(rd.from_arrow(docs2))).to_pylist()
     )
     assert got2 == [100, 102]
+
+
+def test_quantile_gate_matches_bruteforce(ray_session):
+    """Per-group median gate vs brute force, including a group where
+    every value ties (all pass: v >= median == v) and odd/even sizes."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.selection import quantile_gate
+
+    rows = []
+    for i, v in enumerate([10, 20, 30, 40, 50]):        # odd group
+        rows.append(("en", i, v))
+    for i, v in enumerate([1, 2, 3, 4]):                # even group
+        rows.append(("de", 100 + i, v))
+    for i in range(6):                                  # all-ties group
+        rows.append(("fr", 200 + i, 7))
+    t = pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows]),
+            "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    import math
+
+    def disc_median(vals):
+        vals = sorted(vals)
+        return vals[max(1, math.ceil(len(vals) * 0.5)) - 1]
+
+    by = {}
+    for g, i, v in rows:
+        by.setdefault(g, []).append(v)
+    med = {g: disc_median(vs) for g, vs in by.items()}
+    want = {i for g, i, v in rows if v >= med[g]}
+
+    ds = rd.from_arrow(t).repartition(4)
+    got = {
+        r["doc_id"]
+        for r in _collect(
+            quantile_gate(ds, value_col="n_chars", by="lang", q=0.5)
+        ).to_pylist()
+    }
+    assert got == want
+    assert {200 + i for i in range(6)} <= got          # ties all pass
+
+
+def test_semdedup_clustered_planted_triples(ray_session):
+    """Clustered SemDeDup on planted near-identical triples: every
+    within-triple pair found (recall 1.0 — near-identical vectors
+    co-assign), no false pairs (precision 1 vs the exact plan), and
+    the droplist/anti-join apply keeps exactly one vector per triple."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import relational, similarity
+
+    rng = np.random.RandomState(3)
+    dim, groups, singles = 16, 12, 60
+    base = rng.standard_normal((groups, dim))
+    vecs = [base[g] + 0.003 * rng.standard_normal(dim)
+            for g in range(groups) for _ in range(3)]
+    vecs += list(rng.standard_normal((singles, dim)))
+    mat = np.asarray(vecs, dtype=np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    clus = similarity.semdedup_pairs_clustered(
+        ds, threshold=0.9, sample_matrix=mat.astype(np.float64),
+        n_clusters=8,
+    )
+    got = {(r["a_id"], r["b_id"]) for r in _collect(clus).to_pylist()}
+    want = set()
+    for g in range(groups):
+        a, b, c = 3 * g, 3 * g + 1, 3 * g + 2
+        want |= {(a, b), (a, c), (b, c)}
+    assert got == want
+
+    # apply: drop every b_id -> one survivor per triple + all singles
+    drop = clus.map_batches(
+        lambda b: pa.table({"vec_id": b.column("b_id")}),
+        batch_format="pyarrow",
+    )
+    kept = relational.anti_join(
+        ds.map_batches(
+            lambda b: pa.table({"vec_id": b.column("vec_id")}),
+            batch_format="pyarrow",
+        ),
+        drop, key="vec_id", left_cols=[],
+    )
+    ids = {r["vec_id"] for r in _collect(kept).to_pylist()}
+    assert ids == {3 * g for g in range(groups)} | set(
+        range(3 * groups, 3 * groups + singles)
+    )
