@@ -71,3 +71,84 @@ def decontaminate(docs, *, eval_mod: int = 101, k: int = 3):
         )
 
     return docs.map_batches(scan, batch_format="pyarrow")
+
+
+def _bloom_indices(gram: bytes, bits: int, n_hashes: int) -> list:
+    """Deterministic bit positions for one gram: crc32 under distinct
+    integer salts (PYTHONHASHSEED-independent, stable across
+    processes/nodes — the property Python's ``hash`` lacks)."""
+    import zlib
+
+    return [zlib.crc32(gram, s) % bits for s in range(1, n_hashes + 1)]
+
+
+def build_eval_bloom(eval_set, *, bits: int, n_hashes: int) -> np.ndarray:
+    """Bit-packed Bloom filter (uint8[bits/8]) over the eval gram set.
+
+    At 100 TB the eval suite itself can be large (every benchmark ever
+    published): the exact gram SET costs ~50 bytes/gram in worker heap,
+    the Bloom costs ~1.2 bytes/gram at 1% FPR — the broadcast that
+    still fits when the set no longer does."""
+    idx = np.array(
+        [i for g in eval_set for i in _bloom_indices(g.encode(), bits,
+                                                     n_hashes)],
+        dtype=np.int64,
+    )
+    bloom = np.zeros(bits // 8, dtype=np.uint8)
+    if len(idx):
+        np.bitwise_or.at(bloom, idx // 8,
+                         np.left_shift(1, idx % 8).astype(np.uint8))
+    return bloom
+
+
+def decontaminate_bloom(docs, *, eval_mod: int = 101, k: int = 3,
+                        bits: int = 1 << 20, n_hashes: int = 4):
+    """Bloom-pruned benchmark decontamination — same output contract
+    as :func:`decontaminate` (``(doc_id, n_overlap)`` over non-eval
+    docs, distinct shared grams), with the scan gated by a Bloom
+    filter so the exact-verify work touches only Bloom-positive grams.
+
+    A Bloom filter has NO false negatives, so the prune is lossless:
+    every truly-shared gram is Bloom-positive and reaches the exact
+    check; Bloom-only false positives are discarded there, never
+    counted.  The common case (a clean document, every gram negative)
+    short-circuits after the bit probes.
+
+    In-sandbox the exact check intersects the broadcast eval set (it
+    is small here); at real scale the second stage becomes a
+    candidate-grams ⋈ eval-grams ``hash_join`` keyed on the gram —
+    candidates are FPR-sized, so that exchange is tiny either way.
+    """
+    import zlib
+
+    eval_set = eval_gram_set(docs, eval_mod=eval_mod, k=k)
+    bloom = build_eval_bloom(eval_set, bits=bits, n_hashes=n_hashes)
+    salts = tuple(range(1, n_hashes + 1))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_numpy(zero_copy_only=False)
+        out_ids, out_n = [], []
+        for did, t in zip(ids, texts):
+            if did % eval_mod == 0:
+                continue
+            cand = set()
+            for g in set(_gram_list(t.split(), k)):
+                b = g.encode()
+                if all(
+                    bloom[(h := zlib.crc32(b, s) % bits) // 8]
+                    & (1 << (h % 8))
+                    for s in salts
+                ):
+                    cand.add(g)
+            n = len(cand & eval_set) if cand else 0
+            if n:
+                out_ids.append(did)
+                out_n.append(n)
+        return pa.table(
+            {"doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+             "n_overlap": pa.array(np.asarray(out_n, dtype=np.int64))}
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")

@@ -192,3 +192,42 @@ def mix_by_rate(docs, *, rates_bp: dict, default_bp: int = 10000,
 
     return docs.map_batches(keep, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def hash_split(docs, *, splits=(("train", 9000), ("val", 500),
+                                ("test", 500)),
+               seed: int = 3141, id_col: str = "doc_id"):
+    """Deterministic train/val/test assignment: each document lands in
+    exactly one split by its exact hash key — the leakage-proof corpus
+    split (membership is a pure function of (id, seed), so re-running
+    over more shards, a different partitioning, or a grown corpus
+    never moves a previously-assigned document between splits).
+
+    Fractions are integer basis points summing to 10000; boundaries
+    are cumulative ``(M * cum_bp) // 10000`` thresholds in exact
+    integer arithmetic (the ``mix_by_rate`` convention — HUGEINT-
+    recomputable in SQL, no float boundary drift).  One exchange-free
+    streaming pass appending a ``split`` column.
+    """
+    names = [n for n, _ in splits]
+    bps = [int(bp) for _, bp in splits]
+    if sum(bps) != 10000:
+        raise ValueError(f"split basis points must sum to 10000: {bps}")
+    cum = np.cumsum(bps)[:-1]
+    bounds = np.array([(_FP_MOD * int(c)) // 10000 for c in cum],
+                      dtype=np.uint64)
+    names_arr = pa.array(names, type=pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "split", pa.array([], type=pa.string()))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, sample_keys(ids, seed),
+                              side="right")
+        return batch.append_column(
+            "split", names_arr.take(pa.array(idx, type=pa.int64())))
+
+    return docs.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)

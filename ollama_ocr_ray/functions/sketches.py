@@ -156,3 +156,116 @@ def grouped_quantiles(ds, key_col: str, value_col: str,
         .groupby(key_col)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """(token, cnt) exact term frequencies for one block — the shared
+    tokenization contract (lowercase, whitespace split, empties
+    dropped; same as ``text.vocab_df_partial`` / the ``_LTOKS_SQL``
+    oracle expression), counted with pure Arrow kernels."""
+    import pyarrow.compute as pc
+
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(batch.column(text_col)))
+    flat = pc.list_flatten(toks)
+    flat = pc.filter(flat, pc.not_equal(flat, ""))
+    counted = (
+        pa.table({"token": flat})
+        .group_by("token")
+        .aggregate([([], "count_all")])
+    )
+    return pa.table(
+        {"token": counted.column("token"),
+         "cnt": counted.column("count_all").cast(pa.int64())}
+    )
+
+
+def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
+                        text_col: str = "text"):
+    """EXACT top-``k`` tokens by total occurrences, with every exchange
+    bounded by ``m x blocks`` rows — the web-scale alternative to a
+    full (token, count) shuffle, whose key space at 100 TB is the
+    unbounded long tail of typos/URLs/hashes, not a dictionary.
+
+    Two passes (Misra-Gries-style candidates, then exact re-count):
+
+    1. Per block: exact counts, keep the top ``m``.  Any token with
+       block count > n_b/m is in the block's top-m (at most m-1 tokens
+       can exceed that bar), so summing survivors' counts gives a
+       lower bound L(t) with true(t) - N/m <= L(t) <= true(t), where N
+       is the total token count (shipped as one sentinel row per block
+       under the empty-string token, which tokenization can never
+       emit).  Merged partials are <= m x blocks rows.
+    2. Candidates = every token whose L is within N/m of the k-th
+       largest L (a superset of the true top-k by the bound above),
+       collected from the top 4m merged rows.  If the candidate cut
+       is not provably inside that driver-bounded prefix, or fewer
+       than k candidates survive, raise loudly — the fix is a larger
+       ``m``, never a silently-approximate answer.  The candidate set
+       is then broadcast and re-counted exactly in one more streaming
+       pass whose exchange is candidate-sized.
+
+    Ties at the k-th slot break (cnt DESC, token ASC) — the SQL
+    ``ORDER BY cnt DESC, token LIMIT k`` contract.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def top_m_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        counted = _token_counts(batch, text_col)
+        cnt = counted.column("cnt").to_numpy(zero_copy_only=False)
+        total = int(cnt.sum()) if len(cnt) else 0
+        if len(cnt) > m:
+            keep = np.argpartition(cnt, len(cnt) - m)[len(cnt) - m:]
+            counted = counted.take(pa.array(np.sort(keep)))
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [pa.array([""], type=pa.string()),
+                     counted.column("token").combine_chunks()]
+                ),
+                "cnt": pa.concat_arrays(
+                    [pa.array([total], type=pa.int64()),
+                     counted.column("cnt").combine_chunks()]
+                ),
+            }
+        )
+
+    merged = (
+        docs.map_batches(top_m_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    head = merged.sort(["cnt", "token"], descending=[True, False]) \
+                 .limit(4 * m + 1).take_all()
+    total_n = next(r["cnt"] for r in head if r["token"] == "")
+    lower = [(r["token"], r["cnt"]) for r in head if r["token"] != ""]
+    if len(lower) < k:
+        raise ValueError(
+            f"heavy_hitters_exact: vocabulary has only {len(lower)} "
+            f"tokens visible in the top-{4 * m} merged prefix; need k={k}"
+        )
+    slack = -(-total_n // m)  # ceil(N/m)
+    cut = lower[k - 1][1] - slack
+    if len(lower) >= 4 * m and lower[-1][1] >= cut:
+        raise ValueError(
+            "heavy_hitters_exact: candidate cut not contained in the "
+            f"driver-bounded prefix (tail L={lower[-1][1]} >= cut={cut}); "
+            "increase m"
+        )
+    cand = pa.array([t for t, c in lower if c >= cut], type=pa.string())
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        counted = _token_counts(batch, text_col)
+        return counted.filter(
+            pc.is_in(counted.column("token"), value_set=cand)
+        )
+
+    return (
+        docs.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )

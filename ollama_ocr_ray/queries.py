@@ -811,6 +811,38 @@ def q_quantile_gate(sf_dir: str):
     return quantile_gate(ds, value_col="n_chars", by="lang", q=0.5)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """EXACT top-10 tokens by total occurrences with every exchange
+    bounded by m x blocks rows (sketches.heavy_hitters_exact): per-
+    block top-m candidates + an exact broadcast re-count — the
+    unbounded-vocabulary alternative to the full (token, count)
+    shuffle in vocab_top_terms."""
+    from .functions.sketches import heavy_hitters_exact
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters_exact(ds, k=10, m=64)
+
+
+def q_decon_bloom(sf_dir: str):
+    """Bloom-pruned decontamination: identical output contract to
+    `decontaminate` (same SQL oracle), but the scan probes a bit-
+    packed Bloom filter first and exact-verifies only the positive
+    grams — no false negatives, so the prune is lossless."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return contamination.decontaminate_bloom(ds, eval_mod=101, k=3)
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split: membership is a pure
+    function of (doc_id, seed) via the exact integer hash chain
+    (sampling.hash_split) — exchange-free, leakage-proof under corpus
+    growth, HUGEINT-recomputable in the oracle."""
+    from .functions.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return hash_split(ds, seed=3141).select_columns(["doc_id", "split"])
+
+
 def q_chunk_docs(sf_dir: str):
     """Context-window chunking: 200-codepoint windows every 150 (50
     overlap) — one exchange-free streaming pass (functions/chunks.py)."""
@@ -1390,6 +1422,9 @@ def queries() -> dict:
         "dedup_keep_best": q_dedup_keep_best,
         "quantile_gate": q_quantile_gate,
         "emb_dedup_apply": q_emb_dedup_apply,
+        "heavy_hitters": q_heavy_hitters,
+        "decon_bloom": q_decon_bloom,
+        "hash_split": q_hash_split,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -2321,5 +2356,41 @@ def oracle_sql() -> dict:
         SELECT CAST(300 AS BIGINT) AS n_exact_pairs,
                CAST(TRUE AS BOOLEAN) AS precision_ok,
                CAST(TRUE AS BOOLEAN) AS recall_ok
+    """
+    # heavy_hitters: exact top-10 by TERM frequency (vocab_top_terms is
+    # by DOCUMENT frequency), same tokenization contract.
+    d["heavy_hitters"] = f"""
+        WITH tok AS (
+          SELECT unnest({_LTOKS_SQL}) AS token FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 10
+    """
+    # decon_bloom: lossless prune — the output contract IS decontaminate's.
+    d["decon_bloom"] = d["decontaminate"]
+    # hash_split: same exact hash chain as source_mix (seed 3141),
+    # cumulative 90/5/5 integer thresholds; key == boundary goes right
+    # (engine searchsorted side='right' == SQL strict '<').
+    d["hash_split"] = """
+        WITH keyed AS (
+          SELECT doc_id, (h1*h1 + h1) % 2305843009213693951 AS key
+          FROM (
+            SELECT doc_id,
+                   (CAST(doc_id + 1 AS HUGEINT)
+                      * 1234567890123456789 + 3141)
+                     % 2305843009213693951 AS h1
+            FROM documents
+          )
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN key < (CAST(2305843009213693951 AS HUGEINT) * 9000)
+                              // 10000 THEN 'train'
+                 WHEN key < (CAST(2305843009213693951 AS HUGEINT) * 9500)
+                              // 10000 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM keyed
     """
     return d

@@ -1477,3 +1477,123 @@ def test_semdedup_clustered_planted_triples(ray_session):
     assert ids == {3 * g for g in range(groups)} | set(
         range(3 * groups, 3 * groups + singles)
     )
+
+
+def test_heavy_hitters_exact_zipf_pruning(ray_session):
+    """Exact top-k under a Zipf-ish planted vocabulary, small m, many
+    blocks — the candidate prune must never drop a true heavy hitter,
+    and ties at the k-th slot break (cnt DESC, token ASC)."""
+    import collections
+
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import heavy_hitters_exact
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    # Zipf weights; token i drawn ~ 1/(i+1)
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    w /= w.sum()
+    docs = []
+    for _ in range(400):
+        toks = rng.choice(vocab, size=60, p=w)
+        docs.append(" ".join(toks))
+    t = pa.table({"text": pa.array(docs)})
+
+    counter = collections.Counter()
+    for d in docs:
+        counter.update(d.split())
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    ds = rd.from_arrow(t).repartition(10)
+    got = [
+        (r["token"], r["cnt"])
+        for r in _collect(heavy_hitters_exact(ds, k=15, m=32)).to_pylist()
+    ]
+    assert got == want
+
+
+def test_heavy_hitters_refuses_flat_distribution(ray_session):
+    """A near-uniform vocabulary with a tiny m cannot prove the
+    candidate cut fits the driver-bounded prefix — the operator must
+    raise loudly, never return a silently-approximate top-k."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import heavy_hitters_exact
+
+    docs = [" ".join(f"t{i:03d}" for i in range(j, j + 50))
+            for j in range(0, 400, 5)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(8)
+    with pytest.raises(ValueError, match="increase m|tokens visible"):
+        heavy_hitters_exact(ds, k=3, m=4).materialize()
+
+
+def test_decon_bloom_lossless_under_high_fpr(ray_session):
+    """Bloom-pruned decontamination == exact decontamination even with
+    a deliberately tiny filter (high false-positive rate): FPs are
+    discarded by the exact verify, FNs are impossible."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.contamination import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rng = np.random.RandomState(5)
+    vocab = [f"v{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(300):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(vocab, size=20)))
+    # plant real contamination: every 10th non-eval doc quotes an
+    # eval doc's opening phrase (>= one shared word-3-gram)
+    for i in range(10, 300, 10):
+        if i % 7 != 0:
+            texts[i] = " ".join(texts[7].split()[:5]) + " " + texts[i]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(6)
+
+    def rows(out):
+        return sorted(
+            (r["doc_id"], r["n_overlap"]) for r in _collect(out).to_pylist()
+        )
+
+    exact = rows(decontaminate(ds, eval_mod=7, k=3))
+    pruned = rows(decontaminate_bloom(ds, eval_mod=7, k=3, bits=1 << 8,
+                                      n_hashes=2))
+    assert pruned == exact
+    assert len(exact) > 0  # the planted overlap actually exercises it
+
+
+def test_hash_split_deterministic_disjoint_exhaustive(ray_session):
+    """Every doc lands in exactly one split; assignment is invariant
+    under repartitioning; fractions land near 90/5/5; bad basis points
+    raise."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sampling import hash_split
+
+    ids = np.arange(20_000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+
+    def assignment(n_parts):
+        ds = rd.from_arrow(t).repartition(n_parts)
+        return {
+            r["doc_id"]: r["split"]
+            for r in _collect(hash_split(ds, seed=3141)).to_pylist()
+        }
+
+    a4, a13 = assignment(4), assignment(13)
+    assert a4 == a13                       # partitioning-invariant
+    assert set(a4) == set(ids.tolist())    # exhaustive, one row per doc
+    from collections import Counter
+
+    frac = Counter(a4.values())
+    assert abs(frac["train"] / 20_000 - 0.90) < 0.01
+    assert abs(frac["val"] / 20_000 - 0.05) < 0.005
+    assert abs(frac["test"] / 20_000 - 0.05) < 0.005
+
+    with pytest.raises(ValueError, match="sum to 10000"):
+        hash_split(rd.from_arrow(t),
+                   splits=(("a", 5000), ("b", 4000)))
