@@ -269,3 +269,133 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+# --- KLL-style mergeable quantile sketch (continuous domains) --------------
+#
+# ``grouped_quantiles`` is exact but requires a bounded DISCRETE value
+# domain (its exchange is histogram-sized).  A continuous float column
+# (events.value at 100 TB) has no histogram: the mergeable-sketch path
+# is a KLL compactor hierarchy (Karnin-Lang-Liberty 2016 shape) — level
+# L holds values of weight 2^L; an over-full level sorts and promotes
+# every other value.  Deterministic offset alternation (per-level
+# promotion counter) replaces the coin flip so a (data, k) pair always
+# yields the same sketch — reproducible across runs/partitionings at
+# the cost of the adversarial-input guarantee, which the within-bound
+# gate query measures rather than assumes.
+
+_KLL_K = 200
+
+
+def _kll_compact(levels: list, counters: list, k: int) -> None:
+    """In-place: promote every over-capacity level upward."""
+    lvl = 0
+    while lvl < len(levels):
+        if len(levels[lvl]) > k:
+            vals = np.sort(levels[lvl], kind="stable")
+            while len(counters) <= lvl:
+                counters.append(0)
+            off = counters[lvl] & 1
+            counters[lvl] += 1
+            promoted = vals[off::2]
+            levels[lvl] = np.empty(0, dtype=np.float64)
+            if lvl + 1 == len(levels):
+                levels.append(np.empty(0, dtype=np.float64))
+            levels[lvl + 1] = np.concatenate([levels[lvl + 1], promoted])
+        lvl += 1
+
+
+def kll_add(levels: list, counters: list, vals: np.ndarray,
+            k: int = _KLL_K) -> None:
+    levels[0] = np.concatenate([levels[0], vals.astype(np.float64)])
+    _kll_compact(levels, counters, k)
+
+
+def kll_merge(a_levels: list, a_counters: list, b_levels: list,
+              k: int = _KLL_K) -> None:
+    """Merge b into a, levelwise concat + recompact (weights align
+    because level index IS the weight exponent)."""
+    while len(a_levels) < len(b_levels):
+        a_levels.append(np.empty(0, dtype=np.float64))
+    for lvl, b in enumerate(b_levels):
+        if len(b):
+            a_levels[lvl] = np.concatenate([a_levels[lvl], b])
+    _kll_compact(a_levels, a_counters, k)
+
+
+def kll_quantile(levels: list, qs) -> list:
+    """Weighted quantiles from the compactor hierarchy: sort the
+    (value, 2^level) pairs, walk cumulative weight to rank ceil(W*q)."""
+    vals = np.concatenate([lv for lv in levels if len(lv)] or
+                          [np.empty(0)])
+    if not len(vals):
+        return [float("nan")] * len(qs)
+    wts = np.concatenate(
+        [np.full(len(lv), 1 << i, dtype=np.int64)
+         for i, lv in enumerate(levels) if len(lv)]
+    )
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = max(1, int(np.ceil(total * q)))
+        out.append(float(vals[np.searchsorted(cum, rank, side="left")]))
+    return out
+
+
+def approx_quantiles_kll(ds, key_col: str, value_col: str,
+                         qs=(0.5, 0.9, 0.99), k: int = _KLL_K):
+    """Dataset → (key, p50, p90, ...) approximate quantiles over a
+    CONTINUOUS value column via mergeable KLL partials.
+
+    Per batch: one sketch per key, serialized as flattened
+    (key, level, value) rows — the exchange is sketch-sized
+    (k·log(n/k) values per key per block), independent of row count
+    and of the value domain.  Merge: levelwise concat + recompact in a
+    small ``map_groups``.  Rank error ~O(1/k); the `value_quantiles`
+    gate query measures it against exact ranks instead of trusting
+    the bound."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keys = np.asarray(batch.column(key_col))
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        out_k, out_l, out_v = [], [], []
+        for kk in np.unique(keys):
+            levels = [np.empty(0, dtype=np.float64)]
+            kll_add(levels, [], vals[keys == kk], k)
+            for lvl, lv in enumerate(levels):
+                out_k.extend([kk] * len(lv))
+                out_l.extend([lvl] * len(lv))
+                out_v.extend(lv.tolist())
+        return pa.table(
+            {key_col: pa.array(out_k),
+             "level": pa.array(out_l, type=pa.int64()),
+             "value": pa.array(out_v, type=pa.float64())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        lvls = group.column("level").to_numpy(zero_copy_only=False)
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        levels = [np.empty(0, dtype=np.float64)]
+        counters: list = []
+        for lvl in np.unique(lvls):
+            b_levels = [np.empty(0, dtype=np.float64)] * int(lvl) + [
+                vals[lvls == lvl]
+            ]
+            kll_merge(levels, counters, b_levels, k)
+        est = kll_quantile(levels, qs)
+        cols = {key_col: group.column(key_col).slice(0, 1)}
+        for q, v in zip(qs, est):
+            name = f"p{q * 100:g}".replace(".", "_")
+            cols[name] = pa.array([v], type=pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

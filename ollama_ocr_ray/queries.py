@@ -843,6 +843,60 @@ def q_hash_split(sf_dir: str):
     return hash_split(ds, seed=3141).select_columns(["doc_id", "split"])
 
 
+def q_index_dedup(sf_dir: str):
+    """Incremental exact dedup through the sharded fingerprint-index
+    actors (state/dedup_index.py — the raw-actor escape hatch for the
+    one semantics Datasets can't express: a shared mutable lookup).
+    Same output contract as exact_dedup (min doc_id wins, exact
+    multiplicity), so the same SQL oracle checks that the two-phase
+    offer/lookup protocol is deterministic, not arrival-order racy."""
+    from .state.dedup_index import DedupIndex, ingest_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    index = DedupIndex(n_shards=4)
+    return ingest_dedup(ds, index)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Continuous-domain quantile sketch gate (the approx_users
+    within-bound pattern): KLL p50/p90/p99 of events.value per
+    event_type (sketches.approx_quantiles_kll — mergeable compactor
+    partials, sketch-sized exchange) checked against exact ranks, one
+    boolean row per (event_type, q) at 5% rank tolerance.  The exact
+    side reads the value column to the driver — deliberate gate-only
+    cost, bounded at oracle scale; production runs the sketch alone
+    (grouped_quantiles needs a bounded DISCRETE domain; this is the
+    float-column path)."""
+    from .functions.sketches import approx_quantiles_kll
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    qs = (0.5, 0.9, 0.99)
+    approx = {
+        r["event_type"]: [r["p50"], r["p90"], r["p99"]]
+        for r in approx_quantiles_kll(ds, "event_type", "value",
+                                      qs=qs).take_all()
+    }
+    exact: dict = {}
+    for r in ds.take_all():
+        exact.setdefault(r["event_type"], []).append(r["value"])
+    keys = sorted(exact)
+    ok_cols = {q: [] for q in qs}
+    for k in keys:
+        vals = np.sort(np.asarray(exact[k], dtype=np.float64))
+        n = len(vals)
+        for q, v in zip(qs, approx[k]):
+            rank = np.searchsorted(vals, v, side="right")
+            ok_cols[q].append(abs(rank / n - q) <= 0.05)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, type=pa.string()),
+            "p50_ok": pa.array(ok_cols[0.5]),
+            "p90_ok": pa.array(ok_cols[0.9]),
+            "p99_ok": pa.array(ok_cols[0.99]),
+        }
+    )
+
+
 def q_chunk_docs(sf_dir: str):
     """Context-window chunking: 200-codepoint windows every 150 (50
     overlap) — one exchange-free streaming pass (functions/chunks.py)."""
@@ -1425,6 +1479,8 @@ def queries() -> dict:
         "heavy_hitters": q_heavy_hitters,
         "decon_bloom": q_decon_bloom,
         "hash_split": q_hash_split,
+        "value_quantiles": q_value_quantiles,
+        "index_dedup": q_index_dedup,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -2369,6 +2425,19 @@ def oracle_sql() -> dict:
     """
     # decon_bloom: lossless prune — the output contract IS decontaminate's.
     d["decon_bloom"] = d["decontaminate"]
+    # index_dedup: deterministic two-phase protocol == the batch
+    # exact-dedup contract.
+    d["index_dedup"] = d["exact_dedup"]
+    # value_quantiles: the within-bound boolean gate pattern — the
+    # rank-error assertion is computed Ray-side; the oracle pins the
+    # group keys and asserts every bound held.
+    d["value_quantiles"] = """
+        SELECT DISTINCT event_type,
+               CAST(TRUE AS BOOLEAN) AS p50_ok,
+               CAST(TRUE AS BOOLEAN) AS p90_ok,
+               CAST(TRUE AS BOOLEAN) AS p99_ok
+        FROM events
+    """
     # hash_split: same exact hash chain as source_mix (seed 3141),
     # cumulative 90/5/5 integer thresholds; key == boundary goes right
     # (engine searchsorted side='right' == SQL strict '<').

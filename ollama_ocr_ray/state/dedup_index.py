@@ -1,0 +1,178 @@
+"""Sharded shared fingerprint index for INCREMENTAL exact dedup.
+
+The batch exact-dedup path (``functions/dedup.exact_dedup``) is an
+exchange: every (hash, doc_id) row shuffles once — the right plan when
+the whole corpus is in front of you.  The incremental case is
+different: a daily ingest of new shards must dedup against EVERYTHING
+already exported, and re-shuffling 100 TB of history per day is wrong.
+The scale answer is a persistent index keyed by content hash — the one
+semantics the Dataset API genuinely can't express (a shared MUTABLE
+lookup across independent tasks), so this module drops to raw Ray
+actors, per the documented escape-hatch policy.
+
+Design:
+
+- ``IndexShard`` actors (``num_cpus=0`` — memory services, not
+  compute) each own ``hash -> (min_doc_id, count)`` for their slice of
+  the hash space.  Routing is the digest's first 8 bytes mod
+  ``n_shards`` — deterministic, so a hash always lands on one shard
+  and no cross-shard coordination exists.  On a real cluster shards
+  spread across nodes; memory is ~50 B per distinct document, the
+  honest price of never re-reading history.
+- Ingest is TWO-PHASE so the result is deterministic (global min
+  doc_id wins) rather than arrival-order racy: phase 1 streams
+  ``offer`` batches into the shards (each map task blocks on its
+  actor acks, and the pass is materialized as a barrier); phase 2
+  streams ``lookup`` batches and keeps exactly the rows whose id IS
+  the registered winner.
+- ``seal()`` freezes the current winners: a later corpus's offers
+  cannot displace a sealed entry even with a smaller doc_id — the
+  incremental contract (history is already exported; new dups of old
+  content must DROP, not steal the crown).
+
+Reference parity note: the reference has no incremental story at all
+(one process, one file at a time — ocr_router.py main loop); this is
+part of the beyond-reference training-data suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+@ray.remote(num_cpus=0)
+class IndexShard:
+    """One hash-space slice: ``digest -> (min_doc_id, offer_count)``.
+
+    Methods take parallel lists (one actor call per batch per shard,
+    never per row).  State splits into ``_sealed`` (winners frozen by
+    ``seal()``) and ``_open`` (the current ingest's candidates)."""
+
+    def __init__(self):
+        self._sealed: dict = {}
+        self._open: dict = {}
+
+    def offer(self, digests: list, ids: list) -> int:
+        sealed, open_ = self._sealed, self._open
+        for h, i in zip(digests, ids):
+            if h in sealed:
+                ent = sealed[h]
+                sealed[h] = (ent[0], ent[1] + 1)
+                continue
+            ent = open_.get(h)
+            if ent is None:
+                open_[h] = (i, 1)
+            else:
+                open_[h] = (min(ent[0], i), ent[1] + 1)
+        return len(open_)
+
+    def lookup(self, digests: list) -> list:
+        sealed, open_ = self._sealed, self._open
+        out = []
+        for h in digests:
+            ent = sealed.get(h) or open_.get(h)
+            out.append((-1, 0) if ent is None else ent)
+        return out
+
+    def seal(self) -> int:
+        self._sealed.update(self._open)
+        self._open = {}
+        return len(self._sealed)
+
+    def size(self) -> tuple:
+        return (len(self._sealed), len(self._open))
+
+
+class DedupIndex:
+    """Driver-side handle over ``n_shards`` IndexShard actors; the
+    handle (actor refs + shard count) pickles into map tasks."""
+
+    def __init__(self, n_shards: int = 8):
+        self.n_shards = n_shards
+        self.shards = [IndexShard.remote() for _ in range(n_shards)]
+
+    def seal(self) -> int:
+        return sum(ray.get([s.seal.remote() for s in self.shards]))
+
+    def sizes(self) -> list:
+        return ray.get([s.size.remote() for s in self.shards])
+
+
+def _digest_route(batch: pa.Table, n_shards: int):
+    """(digests, ids, shard_of) for one batch — sha256 of the text,
+    the exact_dedup content-hash contract."""
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    digests = [hashlib.sha256(t.encode("utf-8")).digest() for t in texts]
+    shard_of = np.array(
+        [int.from_bytes(d[:8], "big") % n_shards for d in digests],
+        dtype=np.int64,
+    )
+    return digests, ids, shard_of
+
+
+def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
+    """Two-phase incremental exact dedup of ``docs`` against (and
+    into) ``index``: returns the surviving rows plus ``n_dups`` (this
+    ingest's multiplicity folded onto the winner; for content sealed
+    in a previous ingest, nobody survives here — those dups counted
+    against history are dropped entirely).
+
+    Phase 1 (offer) is materialized as a barrier; phase 2 (lookup +
+    filter) streams.  Output is deterministic: the winner is the
+    global min doc_id among this ingest's copies, never a race.
+    """
+    shards, n = index.shards, index.n_shards
+
+    def offer(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64())})
+        digests, ids, shard_of = _digest_route(batch, n)
+        refs = []
+        for s in np.unique(shard_of):
+            m = shard_of == s
+            refs.append(shards[int(s)].offer.remote(
+                [d for d, hit in zip(digests, m) if hit],
+                ids[m].tolist(),
+            ))
+        ray.get(refs)  # ack before the barrier counts this block done
+        return pa.table({"n": pa.array([batch.num_rows],
+                                       type=pa.int64())})
+
+    docs.map_batches(offer, batch_format="pyarrow").materialize()
+
+    cols = list(keep_cols)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        out_schema = pa.schema(
+            [(c, batch.schema.field(c).type) for c in cols]
+            + [("n_dups", pa.int64())]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        digests, ids, shard_of = _digest_route(batch, n)
+        win = np.full(len(ids), -1, dtype=np.int64)
+        cnt = np.zeros(len(ids), dtype=np.int64)
+        refs, masks = [], []
+        for s in np.unique(shard_of):
+            m = shard_of == s
+            masks.append(m)
+            refs.append(shards[int(s)].lookup.remote(
+                [d for d, hit in zip(digests, m) if hit]
+            ))
+        for m, res in zip(masks, ray.get(refs)):
+            arr = np.array(res, dtype=np.int64).reshape(-1, 2)
+            win[m], cnt[m] = arr[:, 0], arr[:, 1]
+        sel = pa.array(win == ids)
+        kept = batch.filter(sel).select(cols)
+        return kept.append_column(
+            "n_dups", pa.array(cnt[win == ids], type=pa.int64())
+        )
+
+    return docs.map_batches(keep_winners, batch_format="pyarrow")

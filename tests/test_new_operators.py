@@ -1597,3 +1597,118 @@ def test_hash_split_deterministic_disjoint_exhaustive(ray_session):
     with pytest.raises(ValueError, match="sum to 10000"):
         hash_split(rd.from_arrow(t),
                    splits=(("a", 5000), ("b", 4000)))
+
+
+def test_kll_quantiles_accuracy_and_merge(ray_session):
+    """KLL sketch rank error stays inside ~2/k on skewed continuous
+    data, across different partitionings (merge path), including a
+    heavy-tailed lognormal and a group small enough to be exact."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import approx_quantiles_kll
+
+    rng = np.random.RandomState(17)
+    vals_a = rng.lognormal(0.0, 2.0, size=50_000)   # heavy tail
+    vals_b = rng.standard_normal(120)               # tiny: exact
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * len(vals_a) + ["b"] * len(vals_b)),
+            "v": pa.array(np.concatenate([vals_a, vals_b]),
+                          type=pa.float64()),
+        }
+    )
+    qs = (0.5, 0.9, 0.99)
+
+    def rank_err(sorted_vals, v, q):
+        r = np.searchsorted(sorted_vals, v, side="right")
+        return abs(r / len(sorted_vals) - q)
+
+    sa, sb = np.sort(vals_a), np.sort(vals_b)
+    for n_parts in (3, 16):
+        ds = rd.from_arrow(t).repartition(n_parts)
+        rows = {
+            r["g"]: r
+            for r in _collect(
+                approx_quantiles_kll(ds, "g", "v", qs=qs)
+            ).to_pylist()
+        }
+        for q in qs:
+            name = f"p{q * 100:g}".replace(".", "_")
+            assert rank_err(sa, rows["a"][name], q) <= 0.03, (n_parts, q)
+            # group b fits inside one compactor: exact rank
+            assert rank_err(sb, rows["b"][name], q) <= 1 / len(sb) + 1e-9
+
+
+def test_index_dedup_matches_batch_exact(ray_session):
+    """Two-phase actor-index dedup == the batch exchange plan: same
+    winners (global min doc_id), same multiplicities, regardless of
+    which block offers first."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.dedup import exact_dedup
+    from ollama_ocr_ray.state.dedup_index import DedupIndex, ingest_dedup
+
+    rng = np.random.RandomState(23)
+    texts = [f"unique document {i}" for i in range(200)]
+    # plant dup groups spanning the id space (so winners cross blocks)
+    for i in range(0, 200, 7):
+        texts[i] = f"dup group {i % 3}"
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(200).astype(np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(9)
+    want = {
+        (r["doc_id"], r["n_dups"])
+        for r in _collect(exact_dedup(ds)).to_pylist()
+    }
+    got = {
+        (r["doc_id"], r["n_dups"])
+        for r in _collect(ingest_dedup(ds, DedupIndex(n_shards=3)))
+                 .to_pylist()
+    }
+    assert got == want
+
+
+def test_index_dedup_incremental_seal(ray_session):
+    """The incremental contract: after seal(), new copies of old
+    content DROP even with a smaller doc_id; genuinely new content
+    survives; dups within the new ingest resolve to their own min."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import DedupIndex, ingest_dedup
+
+    index = DedupIndex(n_shards=2)
+    a = pa.table(
+        {
+            "doc_id": pa.array([100, 101, 102], type=pa.int64()),
+            "text": pa.array(["old news", "old story", "old view"]),
+        }
+    )
+    kept_a = {
+        r["doc_id"]
+        for r in _collect(
+            ingest_dedup(rd.from_arrow(a).repartition(2), index)
+        ).to_pylist()
+    }
+    assert kept_a == {100, 101, 102}
+    assert index.seal() == 3
+
+    b = pa.table(
+        {
+            # 5 < 100 but "old news" is sealed -> 5 must DROP
+            "doc_id": pa.array([5, 6, 7, 8], type=pa.int64()),
+            "text": pa.array(
+                ["old news", "fresh take", "fresh take", "brand new"]
+            ),
+        }
+    )
+    kept_b = {
+        (r["doc_id"], r["n_dups"])
+        for r in _collect(
+            ingest_dedup(rd.from_arrow(b).repartition(2), index)
+        ).to_pylist()
+    }
+    assert kept_b == {(6, 2), (8, 1)}
