@@ -94,7 +94,8 @@ def build_eval_bloom(eval_set, *, bits: int, n_hashes: int) -> np.ndarray:
                                                      n_hashes)],
         dtype=np.int64,
     )
-    bloom = np.zeros(bits // 8, dtype=np.uint8)
+    bloom = np.zeros((bits + 7) // 8, dtype=np.uint8)  # ceil: bit
+    # positions reach bits-1, whose byte is (bits-1)//8
     if len(idx):
         np.bitwise_or.at(bloom, idx // 8,
                          np.left_shift(1, idx % 8).astype(np.uint8))

@@ -224,11 +224,23 @@ def quantile_gate(docs, *, value_col: str, by: str, q: float = 0.5,
 
     def gate(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        keys = batch.column(by).to_pylist()
+        if batch.num_rows == 0:
+            return batch.select(cols)
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
-        cut = np.fromiter((thresh[k] for k in keys), dtype=np.int64,
-                          count=len(keys))
-        return batch.filter(pa.array(vals >= cut)).select(cols)
+        # dictionary-encode the group column so the Python dict is hit
+        # once per DISTINCT group per batch, not once per row (the
+        # mix_by_rate pattern)
+        grp = batch.column(by)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        dic = grp.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        cut_of_code = np.array(
+            [thresh[v] for v in dic.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.filter(pa.array(vals >= cut_of_code[codes])) \
+                    .select(cols)
 
     return docs.map_batches(gate, batch_format="pyarrow",
                             zero_copy_batch=True)

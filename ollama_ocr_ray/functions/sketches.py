@@ -197,10 +197,15 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
        emit).  Merged partials are <= m x blocks rows.
     2. Candidates = every token whose L is within N/m of the k-th
        largest L (a superset of the true top-k by the bound above),
-       collected from the top 4m merged rows.  If the candidate cut
-       is not provably inside that driver-bounded prefix, or fewer
-       than k candidates survive, raise loudly — the fix is a larger
-       ``m``, never a silently-approximate answer.  The candidate set
+       collected from the top 4m merged rows.  Three certificates
+       gate the answer, and a failed certificate RAISES — the fix is
+       a larger ``m``, never a silently-approximate answer:
+       (a) the cut is inside the driver-bounded prefix, (b) at least
+       k candidates exist, (c) when the cut is <= 0 an UNSEEN token
+       (dropped from every block's top-m, so L = 0 but true count up
+       to N/m) could be a true heavy hitter — that case is only safe
+       when NO block actually truncated (then L is exact and nothing
+       is unseen), which the sentinel row tracks.  The candidate set
        is then broadcast and re-counted exactly in one more streaming
        pass whose exchange is candidate-sized.
 
@@ -208,6 +213,7 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
     ``ORDER BY cnt DESC, token LIMIT k`` contract.
     """
     import pyarrow.compute as pc
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     def top_m_partial(batch: pa.Table) -> pa.Table:
@@ -215,9 +221,11 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
         counted = _token_counts(batch, text_col)
         cnt = counted.column("cnt").to_numpy(zero_copy_only=False)
         total = int(cnt.sum()) if len(cnt) else 0
-        if len(cnt) > m:
+        truncated = int(len(cnt) > m)
+        if truncated:
             keep = np.argpartition(cnt, len(cnt) - m)[len(cnt) - m:]
             counted = counted.take(pa.array(np.sort(keep)))
+        n_kept = counted.num_rows
         return pa.table(
             {
                 "token": pa.concat_arrays(
@@ -228,18 +236,28 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
                     [pa.array([total], type=pa.int64()),
                      counted.column("cnt").combine_chunks()]
                 ),
+                "trunc": pa.array([truncated] + [0] * n_kept,
+                                  type=pa.int64()),
             }
         )
 
     merged = (
         docs.map_batches(top_m_partial, batch_format="pyarrow")
         .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("trunc", alias_name="trunc"))
     )
     head = merged.sort(["cnt", "token"], descending=[True, False]) \
                  .limit(4 * m + 1).take_all()
-    total_n = next(r["cnt"] for r in head if r["token"] == "")
+    empty = pa.table({"token": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    sentinel = [r for r in head if r["token"] == ""]
+    if not sentinel:
+        return rd.from_arrow(empty)  # zero input rows / zero tokens
+    total_n, any_trunc = sentinel[0]["cnt"], sentinel[0]["trunc"] > 0
     lower = [(r["token"], r["cnt"]) for r in head if r["token"] != ""]
+    if not lower:
+        return rd.from_arrow(empty)
     if len(lower) < k:
         raise ValueError(
             f"heavy_hitters_exact: vocabulary has only {len(lower)} "
@@ -251,6 +269,14 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
         raise ValueError(
             "heavy_hitters_exact: candidate cut not contained in the "
             f"driver-bounded prefix (tail L={lower[-1][1]} >= cut={cut}); "
+            "increase m"
+        )
+    if cut <= 0 and any_trunc:
+        raise ValueError(
+            "heavy_hitters_exact: candidate cut <= 0 while at least one "
+            "block truncated its counts — a token unseen in every "
+            f"block's top-m (true count up to N/m = {slack}) could be a "
+            f"true heavy hitter (k-th lower bound {lower[k - 1][1]}); "
             "increase m"
         )
     cand = pa.array([t for t, c in lower if c >= cut], type=pa.string())

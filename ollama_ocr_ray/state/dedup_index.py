@@ -55,8 +55,17 @@ class IndexShard:
     def __init__(self):
         self._sealed: dict = {}
         self._open: dict = {}
+        self._seen_keys: set = set()
 
-    def offer(self, digests: list, ids: list) -> int:
+    def offer(self, key: int, digests: list, ids: list) -> int:
+        """``key`` is an idempotency token (the batch slice's min
+        doc_id — unique because batches partition the id space): a
+        replayed offer (Ray task retry, or a rerun of the same ingest
+        against an unsealed index) is a no-op, so multiplicities stay
+        exact under retries."""
+        if key in self._seen_keys:
+            return len(self._open)
+        self._seen_keys.add(key)
         sealed, open_ = self._sealed, self._open
         for h, i in zip(digests, ids):
             if h in sealed:
@@ -81,6 +90,7 @@ class IndexShard:
     def seal(self) -> int:
         self._sealed.update(self._open)
         self._open = {}
+        self._seen_keys = set()  # next ingest is a fresh epoch
         return len(self._sealed)
 
     def size(self) -> tuple:
@@ -133,10 +143,13 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
         if batch.num_rows == 0:
             return pa.table({"n": pa.array([0], type=pa.int64())})
         digests, ids, shard_of = _digest_route(batch, n)
+        key = int(ids.min())  # idempotency token: batches partition
+        # the id space, so the slice minimum is unique per batch
         refs = []
         for s in np.unique(shard_of):
             m = shard_of == s
             refs.append(shards[int(s)].offer.remote(
+                key,
                 [d for d, hit in zip(digests, m) if hit],
                 ids[m].tolist(),
             ))

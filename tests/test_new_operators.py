@@ -1505,12 +1505,17 @@ def test_heavy_hitters_exact_zipf_pruning(ray_session):
         counter.update(d.split())
     want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
 
+    # m must certify the cut: slack = ceil(N/m) has to sit below the
+    # k-th lower bound (N = 24k tokens, true count_15 ~ 186 -> m=512
+    # gives slack 47; m=32 legitimately raises the cut<=0 certificate)
     ds = rd.from_arrow(t).repartition(10)
     got = [
         (r["token"], r["cnt"])
-        for r in _collect(heavy_hitters_exact(ds, k=15, m=32)).to_pylist()
+        for r in _collect(heavy_hitters_exact(ds, k=15, m=512)).to_pylist()
     ]
     assert got == want
+    with pytest.raises(ValueError, match="unseen|increase m"):
+        heavy_hitters_exact(ds, k=15, m=32).materialize()
 
 
 def test_heavy_hitters_refuses_flat_distribution(ray_session):
@@ -1712,3 +1717,95 @@ def test_index_dedup_incremental_seal(ray_session):
         ).to_pylist()
     }
     assert kept_b == {(6, 2), (8, 1)}
+
+
+def test_heavy_hitters_refuses_unseen_heavy_hitter(ray_session):
+    """Review counterexample: a token dropped from EVERY block's top-m
+    (rotating decoys outrank it per block) can still be the true #1 —
+    the certificate must detect cut <= 0 under truncation and raise,
+    never return a silently wrong top-k."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import heavy_hitters_exact
+
+    blocks = []
+    for b in range(40):
+        toks = []
+        for d in range(4):                 # per-block decoys, count 10
+            toks += [f"a{(b * 4 + d) % 15:02d}"] * 10
+        toks += ["xx"] * 9                 # the hidden global #1
+        blocks.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({"text": pa.array(blocks)})) \
+           .repartition(40)
+    with pytest.raises(ValueError, match="unseen|increase m"):
+        heavy_hitters_exact(ds, k=3, m=4).materialize()
+    # with an adequate m the same input is answered exactly
+    got = [
+        (r["token"], r["cnt"])
+        for r in _collect(heavy_hitters_exact(ds, k=1, m=64)).to_pylist()
+    ]
+    assert got == [("xx", 360)]
+
+
+def test_heavy_hitters_empty_input(ray_session):
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import heavy_hitters_exact
+
+    ds = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
+    out = _collect(heavy_hitters_exact(ds, k=5, m=8))
+    assert out.num_rows == 0
+
+
+def test_bloom_non_multiple_of_8_bits(ray_session):
+    """bits not divisible by 8 must not index past the byte array."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.contamination import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    texts = [f"tok{i} tok{i+1} tok{i+2} tok{i+3}" for i in range(40)]
+    texts[10] = texts[0]  # doc 0 is eval (0 % 7 == 0): planted overlap
+    t = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(3)
+
+    def rows(out):
+        return sorted(
+            (r["doc_id"], r["n_overlap"]) for r in _collect(out).to_pylist()
+        )
+
+    assert rows(decontaminate_bloom(ds, eval_mod=7, k=3, bits=101,
+                                    n_hashes=3)) == \
+        rows(decontaminate(ds, eval_mod=7, k=3))
+
+
+def test_index_dedup_offer_idempotent_under_replay(ray_session):
+    """A replayed phase-1 offer (task retry / rerun against an
+    unsealed index) must not inflate multiplicities."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import DedupIndex, ingest_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["x", "x", "y", "z"]),
+        }
+    )
+    index = DedupIndex(n_shards=2)
+    ds = rd.from_arrow(t).repartition(2)
+    first = {
+        (r["doc_id"], r["n_dups"])
+        for r in _collect(ingest_dedup(ds, index)).to_pylist()
+    }
+    assert first == {(1, 2), (3, 1), (4, 1)}
+    # full rerun of the same ingest against the same unsealed index:
+    # same idempotency keys -> counts unchanged
+    again = {
+        (r["doc_id"], r["n_dups"])
+        for r in _collect(ingest_dedup(ds, index)).to_pylist()
+    }
+    assert again == first
