@@ -1459,11 +1459,6 @@ def queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "knn_join": q_knn_join,
         # --- text analysis --- (lang_summary is the warmup entry above)
-        "doc_token_stats": q_doc_token_stats,
-        "quality_score": q_quality_score,
-        "repetition_stats": q_repetition_stats,
-        "top_2gram": q_top_2gram,
-        "scrub_pii": q_scrub_pii,
         "decontaminate": q_decontaminate,
         # --- sampling / sketches ---
         "lang_sample": q_lang_sample,
@@ -1496,6 +1491,14 @@ def queries() -> dict:
         # verified every session) ---
         "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        # text-analysis rows green + untouched since r3's vectorization
+        # wave — moved past the cap so r4's rewritten relational rows
+        # (hash_join / exact-fold / window plans) stay recorded
+        "doc_token_stats": q_doc_token_stats,
+        "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "top_2gram": q_top_2gram,
+        "scrub_pii": q_scrub_pii,
         "lang_id": q_lang_id,
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_scores": q_tfidf_scores,
