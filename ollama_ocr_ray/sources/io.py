@@ -52,6 +52,9 @@ def _has_lance() -> bool:
         return False
 
 
+_DATA_SUFFIXES = (".parquet", ".lance", ".jsonl", ".json", ".csv")
+
+
 def list_input_files(input_path: str) -> list[str]:
     """Sorted data files of a documents table directory (the partition
     units for the resumable runner)."""
@@ -60,7 +63,7 @@ def list_input_files(input_path: str) -> list[str]:
     return sorted(
         os.path.join(input_path, f)
         for f in os.listdir(input_path)
-        if f.endswith(".parquet") or f.endswith(".lance")
+        if f.endswith(_DATA_SUFFIXES)
     )
 
 
@@ -80,14 +83,33 @@ def read_documents(input_path: str, *, validate: bool = True,
 
 def read_documents_files(files: list[str], *, validate: bool = True,
                          override_num_blocks: int | None = None):
+    """Container dispatch by suffix: Lance when importable, Parquet
+    (columnar fast path), JSONL (`ray.data.read_json` — the common
+    crawl-dump interchange format), CSV.  Mixed-suffix directories are
+    refused loudly rather than silently half-read; every path funnels
+    through the same schema validation, so a JSONL corpus with a
+    missing/mistyped column fails at ingest, not mid-pipeline."""
     import ray.data as rd
 
+    kinds = {
+        "jsonl" if s == "json" else s
+        for s in (f.rsplit(".", 1)[-1] for f in files)
+    }
+    if len(kinds) > 1:
+        raise ValueError(
+            f"read_documents: mixed container formats in one table: "
+            f"{sorted(kinds)} — split the directory per format"
+        )
     if _has_lance() and files and files[0].endswith(".lance"):
         try:
             ds = rd.read_lance(files[0],
                                override_num_blocks=override_num_blocks)
         except TypeError:  # older read_lance without the parameter
             ds = rd.read_lance(files[0])
+    elif files and files[0].endswith((".jsonl", ".json")):
+        ds = rd.read_json(files, override_num_blocks=override_num_blocks)
+    elif files and files[0].endswith(".csv"):
+        ds = rd.read_csv(files, override_num_blocks=override_num_blocks)
     else:
         ds = rd.read_parquet(files, override_num_blocks=override_num_blocks)
     if validate:

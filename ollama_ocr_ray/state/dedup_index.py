@@ -96,10 +96,55 @@ class IndexShard:
     def size(self) -> tuple:
         return (len(self._sealed), len(self._open))
 
+    def dump_sealed(self, path: str) -> int:
+        """Persist the SEALED entries as one parquet file (digest,
+        min_doc_id, count) — each shard writes its own slice, so the
+        save is shard-parallel and never funnels the index through
+        the driver.  Open (unsealed) entries are deliberately not
+        saved: an unfinished ingest resumes by re-running it (the
+        offers are idempotent), not by restoring half its state."""
+        import pyarrow.parquet as pq
+
+        items = list(self._sealed.items())
+        t = pa.table(
+            {
+                "digest": pa.array([h for h, _ in items],
+                                   type=pa.binary()),
+                "doc_id": pa.array([e[0] for _, e in items],
+                                   type=pa.int64()),
+                "count": pa.array([e[1] for _, e in items],
+                                  type=pa.int64()),
+            }
+        )
+        pq.write_table(t, path)
+        return t.num_rows
+
+    def load_sealed(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        self._sealed = {
+            h: (i, c)
+            for h, i, c in zip(t.column("digest").to_pylist(),
+                               t.column("doc_id").to_pylist(),
+                               t.column("count").to_pylist())
+        }
+        return len(self._sealed)
+
 
 class DedupIndex:
     """Driver-side handle over ``n_shards`` IndexShard actors; the
-    handle (actor refs + shard count) pickles into map tasks."""
+    handle (actor refs + shard count) pickles into map tasks.
+
+    ``save``/``load`` give the index a life beyond one Ray session —
+    the incremental contract is cross-JOB (yesterday's export, today's
+    ingest), so the sealed winners persist as per-shard parquet under
+    a directory whose shard count is pinned in ``index.json`` (the
+    digest→shard routing depends on n_shards, so a reload must use
+    the same fan-out).  Shards write/read the snapshot directly, so
+    the path must be shared storage on a multi-node cluster (NFS/S3
+    mount — the same requirement ``state/runner.py`` documents for
+    its checkpoint dirs)."""
 
     def __init__(self, n_shards: int = 8):
         self.n_shards = n_shards
@@ -110,6 +155,43 @@ class DedupIndex:
 
     def sizes(self) -> list:
         return ray.get([s.size.remote() for s in self.shards])
+
+    def save(self, path: str) -> int:
+        """Seal, then persist every shard (parallel, atomic via
+        tmp+rename of the directory)."""
+        import json
+        import os
+
+        self.seal()
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        n = sum(ray.get([
+            s.dump_sealed.remote(os.path.join(tmp, f"shard-{i}.parquet"))
+            for i, s in enumerate(self.shards)
+        ]))
+        with open(os.path.join(tmp, "index.json"), "w") as f:
+            json.dump({"n_shards": self.n_shards, "entries": n}, f)
+        if os.path.exists(path):
+            raise FileExistsError(
+                f"DedupIndex.save: {path} exists; saves are append-only "
+                "snapshots — pick a fresh path per ingest epoch"
+            )
+        os.replace(tmp, path)
+        return n
+
+    @classmethod
+    def load(cls, path: str) -> "DedupIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "index.json")) as f:
+            meta = json.load(f)
+        index = cls(n_shards=meta["n_shards"])
+        ray.get([
+            s.load_sealed.remote(os.path.join(path, f"shard-{i}.parquet"))
+            for i, s in enumerate(index.shards)
+        ])
+        return index
 
 
 def _digest_route(batch: pa.Table, n_shards: int):

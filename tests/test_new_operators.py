@@ -1809,3 +1809,84 @@ def test_index_dedup_offer_idempotent_under_replay(ray_session):
         for r in _collect(ingest_dedup(ds, index)).to_pylist()
     }
     assert again == first
+
+
+def test_index_dedup_save_load_cross_job(ray_session, tmp_path):
+    """The cross-job incremental contract: ingest + seal + save, then
+    a FRESH index (as a new job would build) loads the snapshot and
+    drops new copies of old content while keeping new content; a
+    second save to the same path refuses (snapshots are append-only)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import DedupIndex, ingest_dedup
+
+    a = pa.table(
+        {
+            "doc_id": pa.array([100, 101], type=pa.int64()),
+            "text": pa.array(["old news", "old story"]),
+        }
+    )
+    idx = DedupIndex(n_shards=3)
+    ingest_dedup(rd.from_arrow(a).repartition(2), idx).materialize()
+    snap = str(tmp_path / "index-epoch-0")
+    assert idx.save(snap) == 2
+
+    idx2 = DedupIndex.load(snap)
+    assert idx2.n_shards == 3
+    b = pa.table(
+        {
+            "doc_id": pa.array([5, 6], type=pa.int64()),
+            "text": pa.array(["old news", "genuinely new"]),
+        }
+    )
+    kept = {
+        r["doc_id"]
+        for r in _collect(
+            ingest_dedup(rd.from_arrow(b).repartition(2), idx2)
+        ).to_pylist()
+    }
+    assert kept == {6}
+
+    with pytest.raises(FileExistsError, match="append-only"):
+        idx2.save(snap)
+
+
+def test_read_documents_jsonl_source(ray_session, tmp_path):
+    """The same schema-validated ingest over a JSONL container:
+    identical rows as the parquet path, and mixed-format directories
+    refuse loudly.  (CSV dispatch shares this path but is not
+    round-tripped here: CSV null semantics differ for nullable
+    columns.)"""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ollama_ocr_ray.sources.io import read_documents
+    from ollama_ocr_ray import synth
+
+    table = synth.gen_table(40, seed=9)
+    pq_dir = tmp_path / "pq"
+    pq_dir.mkdir()
+    pq.write_table(table, pq_dir / "part-0.parquet")
+    want = read_documents(str(pq_dir)).take_all()
+
+    jl_dir = tmp_path / "jl"
+    jl_dir.mkdir()
+    rows = table.to_pylist()
+    with open(jl_dir / "part-0.jsonl", "w") as f:
+        for r in rows[:20]:
+            f.write(json.dumps(r) + "\n")
+    with open(jl_dir / "part-1.jsonl", "w") as f:
+        for r in rows[20:]:
+            f.write(json.dumps(r) + "\n")
+    got = read_documents(str(jl_dir)).take_all()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq.write_table(table, mixed / "a.parquet")
+    with open(mixed / "b.jsonl", "w") as f:
+        f.write(json.dumps(rows[0]) + "\n")
+    with pytest.raises(ValueError, match="mixed container"):
+        read_documents(str(mixed))
