@@ -19,14 +19,19 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--input", required=True, help="documents table dir/file")
     ap.add_argument("--output", required=True, help="output dir (resumable)")
-    ap.add_argument("--job", choices=["extract", "prep", "curate", "export"],
+    ap.add_argument("--job",
+                    choices=["extract", "prep", "curate", "export",
+                             "ingest"],
                     default="extract",
                     help="extract = resumable OCR extraction; prep = "
                          "annotate + quality gate + exact-dedup corpus prep; "
                          "curate = prep + phrase-repetition gate + "
                          "stratified per-language sample (training mix); "
                          "export = join a prep/curate mix manifest back to "
-                         "text and write packed training-example shards")
+                         "text and write packed training-example shards; "
+                         "ingest = incremental exact dedup against a "
+                         "persistent fingerprint index (new epoch snapshot "
+                         "under --output/index)")
     ap.add_argument("--quality-threshold", type=float, default=0.01,
                     help="prep/curate job: minimum quality_score to keep")
     ap.add_argument("--max-top2gram-e4", type=int, default=800,
@@ -51,6 +56,13 @@ def main(argv=None) -> int:
     ap.add_argument("--manifest", default=None,
                     help="export job: dir/file of mix-manifest parquet "
                          "(doc_id rows — a prep/curate output data dir)")
+    ap.add_argument("--index", default=None,
+                    help="ingest job: previous epoch's index snapshot dir "
+                         "(omit for epoch 0; its shard fan-out wins over "
+                         "--index-shards)")
+    ap.add_argument("--index-shards", type=int, default=8,
+                    help="ingest job: index fan-out for a fresh epoch-0 "
+                         "index")
     ap.add_argument("--capacity", type=int, default=2048,
                     help="export job: pack capacity in tokens")
     ap.add_argument("--n-shards", type=int, default=16,
@@ -97,6 +109,31 @@ def main(argv=None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        if args.job == "ingest":
+            import sys
+
+            for flag, val, default in (("--model", args.model, None),
+                                       ("--plan", args.plan, "auto"),
+                                       ("--wave", args.wave, 4),
+                                       ("--shuffle-seed",
+                                        args.shuffle_seed, None),
+                                       ("--partition-by",
+                                        args.partition_by, None),
+                                       ("--manifest", args.manifest,
+                                        None)):
+                if val != default:
+                    print(f"warning: {flag} does not apply to --job "
+                          f"ingest; ignored", file=sys.stderr)
+            from .state.runner import run_ingest
+
+            summary = run_ingest(
+                args.input,
+                args.output,
+                index_path=args.index,
+                n_shards=args.index_shards,
+            )
+            print(json.dumps(summary))
+            return 0
         if args.job == "export":
             import sys
 

@@ -110,8 +110,12 @@ class IndexShard:
             {
                 "digest": pa.array([h for h, _ in items],
                                    type=pa.binary()),
-                "doc_id": pa.array([e[0] for _, e in items],
-                                   type=pa.int64()),
+                # ids inherit the corpus type (int64 or string); an
+                # empty shard pins int64 so the file stays readable
+                "doc_id": pa.array(
+                    [e[0] for _, e in items],
+                    type=pa.int64() if not items else None,
+                ),
                 "count": pa.array([e[1] for _, e in items],
                                   type=pa.int64()),
             }
@@ -195,11 +199,34 @@ class DedupIndex:
 
 
 def _digest_route(batch: pa.Table, n_shards: int):
-    """(digests, ids, shard_of) for one batch — sha256 of the text,
-    the exact_dedup content-hash contract."""
-    texts = batch.column("text").to_pylist()
+    """(digests, ids, shard_of) for one batch.  Content identity:
+    sha256 of the ``text`` column when present (the exact_dedup
+    contract), else of a canonical serialization of the interleaved
+    ``spans`` column (kind/text/media_ref/offset per span, length-
+    prefixed so no two span lists collide by concatenation) — the
+    shape the CLI ingest job sees.  Ids may be int64 or string; the
+    index only needs equality + a stable min."""
+    names = set(batch.schema.names)
+    if "text" in names:
+        contents = [t.encode("utf-8")
+                    for t in batch.column("text").to_pylist()]
+    elif "spans" in names:
+        contents = []
+        for spans in batch.column("spans").to_pylist():
+            parts = []
+            for s in spans or []:
+                for field in ("kind", "text", "media_ref"):
+                    v = s.get(field) or ""
+                    parts.append(f"{len(v)}:{v}")
+                parts.append(f"o{s.get('offset')}")
+            contents.append("|".join(parts).encode("utf-8"))
+    else:
+        raise ValueError(
+            "dedup_index: batch has neither 'text' nor 'spans'; "
+            f"columns: {sorted(names)}"
+        )
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    digests = [hashlib.sha256(t.encode("utf-8")).digest() for t in texts]
+    digests = [hashlib.sha256(c).digest() for c in contents]
     shard_of = np.array(
         [int.from_bytes(d[:8], "big") % n_shards for d in digests],
         dtype=np.int64,
@@ -225,8 +252,9 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
         if batch.num_rows == 0:
             return pa.table({"n": pa.array([0], type=pa.int64())})
         digests, ids, shard_of = _digest_route(batch, n)
-        key = int(ids.min())  # idempotency token: batches partition
-        # the id space, so the slice minimum is unique per batch
+        key = ids.min()  # idempotency token: batches partition the
+        # id space, so the slice minimum is unique per batch
+        key = key.item() if hasattr(key, "item") else key
         refs = []
         for s in np.unique(shard_of):
             m = shard_of == s
@@ -252,7 +280,7 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
         if batch.num_rows == 0:
             return out_schema.empty_table()
         digests, ids, shard_of = _digest_route(batch, n)
-        win = np.full(len(ids), -1, dtype=np.int64)
+        win = np.empty(len(ids), dtype=object)  # ids may be str or int
         cnt = np.zeros(len(ids), dtype=np.int64)
         refs, masks = [], []
         for s in np.unique(shard_of):
@@ -262,9 +290,9 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
                 [d for d, hit in zip(digests, m) if hit]
             ))
         for m, res in zip(masks, ray.get(refs)):
-            arr = np.array(res, dtype=np.int64).reshape(-1, 2)
-            win[m], cnt[m] = arr[:, 0], arr[:, 1]
-        sel = pa.array(win == ids)
+            win[m] = np.array([r[0] for r in res], dtype=object)
+            cnt[m] = np.array([r[1] for r in res], dtype=np.int64)
+        sel = pa.array((win == ids).astype(bool))
         kept = batch.filter(sel).select(cols)
         return kept.append_column(
             "n_dups", pa.array(cnt[win == ids], type=pa.int64())

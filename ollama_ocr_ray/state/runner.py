@@ -27,8 +27,8 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from ..pipelines.extract import extract_pipeline, fused_pipeline
-from ..sources.io import (list_input_files, read_documents_files,
-                          write_extracted)
+from ..sources.io import (list_input_files, read_documents,
+                          read_documents_files, write_extracted)
 from .manifest import Manifest, partition_fingerprint
 
 
@@ -728,3 +728,72 @@ def run_extract(
         "plan": plan,
         "output_dir": output_dir,
     }
+
+
+def run_ingest(input_path: str, output_dir: str, *,
+               index_path: str | None = None, n_shards: int = 8) -> dict:
+    """Resumable incremental-ingest job: exact-dedup ``input_path``
+    against (and into) a persistent fingerprint index
+    (``state/dedup_index.py``), write the surviving rows, and snapshot
+    the grown index for the NEXT epoch — the daily-shards-vs-exported-
+    history workflow the batch dedup exchange can't serve.
+
+    Layout: ``data/`` (kept rows + n_dups), ``index/`` (the new sealed
+    snapshot), ``ingest.json`` (completion key, written last).  Crash
+    anywhere → rerun with the same arguments: offers are idempotent,
+    the filter pass is deterministic (global min doc_id wins), the
+    data dir is rebuilt from scratch if its completion key is missing,
+    and an already-saved snapshot is reused as-is (same determinism).
+    ``index_path`` is the previous epoch's snapshot (omit for epoch 0);
+    its pinned shard fan-out wins over ``n_shards``.
+    """
+    import json
+
+    from .dedup_index import DedupIndex, ingest_dedup
+
+    done_key = os.path.join(output_dir, "ingest.json")
+    if os.path.exists(done_key):
+        with open(done_key) as f:
+            return json.load(f)  # resume: epoch already complete
+    os.makedirs(output_dir, exist_ok=True)
+    data_dir = os.path.join(output_dir, "data")
+    index_dir = os.path.join(output_dir, "index")
+
+    index = (DedupIndex.load(index_path) if index_path
+             else DedupIndex(n_shards=n_shards))
+    docs = read_documents(input_path)
+    n_input = docs.count()
+    keep_cols = [c for c in docs.schema().names]
+    kept = ingest_dedup(docs, index, keep_cols=keep_cols)
+
+    tmp = data_dir + "_tmp"
+    for d in (tmp, data_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)  # deterministic rebuild after a crash
+    kept.write_parquet(tmp)
+    os.replace(tmp, data_dir)
+
+    if os.path.isdir(index_dir):
+        # crash landed between snapshot and completion key: the saved
+        # snapshot is identical by determinism — reuse it
+        with open(os.path.join(index_dir, "index.json")) as f:
+            n_entries = json.load(f)["entries"]
+    else:
+        n_entries = index.save(index_dir)
+
+    import pyarrow.parquet as pq
+
+    n_kept = pq.read_table(data_dir, columns=["doc_id"]).num_rows
+    summary = {
+        "job": "ingest",
+        "input_docs": int(n_input),
+        "kept": int(n_kept),
+        "dropped": int(n_input - n_kept),
+        "index_entries": int(n_entries),
+        "index_dir": index_dir,
+    }
+    tmp_key = done_key + ".tmp"
+    with open(tmp_key, "w") as f:
+        json.dump(summary, f)
+    os.replace(tmp_key, done_key)
+    return summary

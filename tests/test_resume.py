@@ -425,3 +425,66 @@ def test_pack_shard_task_coalesces_tiny_files(tmp_path):
     nonov = t.filter(pc.invert(t.column("overflow")))
     assert float(pc.mean(nonov.column("n_tokens")).as_py()) >= 90
     assert len(set(t.column("pack_id").to_pylist())) == t.num_rows
+
+
+def test_ingest_job_two_epochs_and_resume(ray_session, tmp_path):
+    """CLI --job ingest over the interleaved corpus: epoch 0 dedups
+    within itself (span-content identity) and snapshots the index;
+    epoch 1 dedups new shards against the snapshot (old content drops,
+    new survives); rerunning a finished epoch is a no-op resume."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ollama_ocr_ray import synth
+    from ollama_ocr_ray.run import main
+
+    def capture(argv):
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(argv) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    # epoch 0: 30 interleaved docs with one internal content dup
+    t0 = synth.gen_table(30, seed=3)
+    ids = t0.column("doc_id").to_pylist()
+    spans = t0.column("spans").to_pylist()
+    spans[7] = spans[2]  # same content, different doc_id
+    t0 = pa.table({"doc_id": pa.array(ids),
+                   "spans": pa.array(spans, type=t0.schema.field("spans").type)})
+    e0_in = tmp_path / "in0"
+    e0_in.mkdir()
+    pq.write_table(t0, e0_in / "part-0.parquet")
+    e0_out = str(tmp_path / "epoch0")
+    s0 = capture(["--input", str(e0_in), "--output", e0_out,
+                  "--job", "ingest", "--index-shards", "3"])
+    assert s0["input_docs"] == 30 and s0["kept"] == 29
+
+    # resume: rerun returns the recorded summary, completion key untouched
+    mtime = os.path.getmtime(os.path.join(e0_out, "ingest.json"))
+    s0b = capture(["--input", str(e0_in), "--output", e0_out,
+                   "--job", "ingest"])
+    assert s0b == s0
+    assert os.path.getmtime(os.path.join(e0_out, "ingest.json")) == mtime
+
+    # epoch 1: 10 fresh-id docs, 3 of which repeat epoch-0 content
+    t1 = synth.gen_table(10, seed=77)
+    ids1 = [f"zz-{i:04d}" for i in range(10)]
+    spans1 = t1.column("spans").to_pylist()
+    for i in range(3):
+        spans1[i] = spans[10 + i]
+    t1 = pa.table({"doc_id": pa.array(ids1),
+                   "spans": pa.array(spans1, type=t1.schema.field("spans").type)})
+    e1_in = tmp_path / "in1"
+    e1_in.mkdir()
+    pq.write_table(t1, e1_in / "part-0.parquet")
+    s1 = capture(["--input", str(e1_in), "--output",
+                  str(tmp_path / "epoch1"), "--job", "ingest",
+                  "--index", s0["index_dir"]])
+    assert s1["input_docs"] == 10
+    assert s1["kept"] == 7 and s1["dropped"] == 3
+    assert s1["index_entries"] == 29 + 7
