@@ -13,6 +13,17 @@ import argparse
 import json
 
 
+def _warn_ignored(job: str, pairs) -> None:
+    """One diagnostic per accepted-but-inapplicable flag (ADVICE r3:
+    never silently drop a requested behavior)."""
+    import sys
+
+    for flag, val, default in pairs:
+        if val != default:
+            print(f"warning: {flag} does not apply to --job {job}; "
+                  "ignored", file=sys.stderr)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="Ray-Data-native interleaved-document extraction"
@@ -109,21 +120,16 @@ def main(argv=None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        index_flags = [("--index", args.index, None),
+                       ("--index-shards", args.index_shards, 8)]
         if args.job == "ingest":
-            import sys
-
-            for flag, val, default in (("--model", args.model, None),
-                                       ("--plan", args.plan, "auto"),
-                                       ("--wave", args.wave, 4),
-                                       ("--shuffle-seed",
-                                        args.shuffle_seed, None),
-                                       ("--partition-by",
-                                        args.partition_by, None),
-                                       ("--manifest", args.manifest,
-                                        None)):
-                if val != default:
-                    print(f"warning: {flag} does not apply to --job "
-                          f"ingest; ignored", file=sys.stderr)
+            _warn_ignored("ingest",
+                          [("--model", args.model, None),
+                           ("--plan", args.plan, "auto"),
+                           ("--wave", args.wave, 4),
+                           ("--shuffle-seed", args.shuffle_seed, None),
+                           ("--partition-by", args.partition_by, None),
+                           ("--manifest", args.manifest, None)])
             from .state.runner import run_ingest
 
             summary = run_ingest(
@@ -135,21 +141,16 @@ def main(argv=None) -> int:
             print(json.dumps(summary))
             return 0
         if args.job == "export":
-            import sys
-
             if args.manifest is None:
                 raise SystemExit("--job export requires --manifest "
                                  "(a prep/curate output data dir)")
-            for flag, val, default in (("--model", args.model, None),
-                                       ("--plan", args.plan, "auto"),
-                                       ("--wave", args.wave, 4),
-                                       ("--shuffle-seed",
-                                        args.shuffle_seed, None),
-                                       ("--partition-by",
-                                        args.partition_by, None)):
-                if val != default:
-                    print(f"warning: {flag} does not apply to --job "
-                          f"export; ignored", file=sys.stderr)
+            _warn_ignored("export",
+                          [("--model", args.model, None),
+                           ("--plan", args.plan, "auto"),
+                           ("--wave", args.wave, 4),
+                           ("--shuffle-seed", args.shuffle_seed, None),
+                           ("--partition-by", args.partition_by, None)]
+                          + index_flags)
             from .state.runner import run_export
 
             summary = run_export(
@@ -163,21 +164,16 @@ def main(argv=None) -> int:
             print(json.dumps(summary))
             return 0
         if args.job in ("prep", "curate"):
-            import sys
-
             ignored = [("--model", args.model, None),
                        ("--plan", args.plan, "auto"),
-                       ("--wave", args.wave, 4)]
+                       ("--wave", args.wave, 4)] + index_flags
             if args.job == "curate":
                 # run_curate takes neither flag; warn instead of
                 # silently dropping a requested shuffle/partitioning
                 # (ADVICE r3)
                 ignored += [("--shuffle-seed", args.shuffle_seed, None),
                             ("--partition-by", args.partition_by, None)]
-            for flag, val, default in ignored:
-                if val != default:
-                    print(f"warning: {flag} does not apply to --job "
-                          f"{args.job}; ignored", file=sys.stderr)
+            _warn_ignored(args.job, ignored)
             import os
             import shutil
 
@@ -225,6 +221,8 @@ def main(argv=None) -> int:
                 )
             print(json.dumps(summary))
             return 0
+        _warn_ignored("extract",
+                      [("--manifest", args.manifest, None)] + index_flags)
         from .stages.engines import resolve_model
         from .state.runner import run_extract
 

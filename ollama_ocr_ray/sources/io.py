@@ -52,19 +52,22 @@ def _has_lance() -> bool:
         return False
 
 
-_DATA_SUFFIXES = (".parquet", ".lance", ".jsonl", ".json", ".csv")
-
-
 def list_input_files(input_path: str) -> list[str]:
     """Sorted data files of a documents table directory (the partition
-    units for the resumable runner)."""
+    units for the resumable runner).  ``.parquet``/``.lance``/
+    ``.jsonl``/``.csv`` are always data (mixing them is refused at the
+    read); a plain ``.json`` is a metadata SIDECAR (job summaries, HF
+    dataset_info) whenever any real data file is present, and data
+    only in a directory holding nothing else."""
     if os.path.isfile(input_path):
         return [input_path]
-    return sorted(
-        os.path.join(input_path, f)
-        for f in os.listdir(input_path)
-        if f.endswith(_DATA_SUFFIXES)
-    )
+    entries = sorted(os.listdir(input_path))
+    data = [os.path.join(input_path, f) for f in entries
+            if f.endswith((".parquet", ".lance", ".jsonl", ".csv"))]
+    if data:
+        return data
+    return [os.path.join(input_path, f) for f in entries
+            if f.endswith(".json")]
 
 
 def read_documents(input_path: str, *, validate: bool = True,

@@ -106,15 +106,22 @@ class IndexShard:
         import pyarrow.parquet as pq
 
         items = list(self._sealed.items())
+        # ids may MIX int and string across epochs (a parquet epoch
+        # followed by a JSONL crawl epoch) — store (str, kind) so the
+        # exact Python objects round-trip; equality semantics across
+        # differently-typed epochs stay correct (a sealed int winner
+        # never equals a new str id, so new copies of old content
+        # drop — the intended contract)
         t = pa.table(
             {
                 "digest": pa.array([h for h, _ in items],
                                    type=pa.binary()),
-                # ids inherit the corpus type (int64 or string); an
-                # empty shard pins int64 so the file stays readable
-                "doc_id": pa.array(
-                    [e[0] for _, e in items],
-                    type=pa.int64() if not items else None,
+                "doc_id": pa.array([str(e[0]) for _, e in items],
+                                   type=pa.string()),
+                "id_kind": pa.array(
+                    ["i" if isinstance(e[0], (int, np.integer)) else "s"
+                     for _, e in items],
+                    type=pa.string(),
                 ),
                 "count": pa.array([e[1] for _, e in items],
                                   type=pa.int64()),
@@ -128,10 +135,11 @@ class IndexShard:
 
         t = pq.read_table(path)
         self._sealed = {
-            h: (i, c)
-            for h, i, c in zip(t.column("digest").to_pylist(),
-                               t.column("doc_id").to_pylist(),
-                               t.column("count").to_pylist())
+            h: (int(i) if k == "i" else i, c)
+            for h, i, k, c in zip(t.column("digest").to_pylist(),
+                                  t.column("doc_id").to_pylist(),
+                                  t.column("id_kind").to_pylist(),
+                                  t.column("count").to_pylist())
         }
         return len(self._sealed)
 
@@ -165,21 +173,25 @@ class DedupIndex:
         tmp+rename of the directory)."""
         import json
         import os
+        import shutil
 
+        if os.path.exists(path):
+            raise FileExistsError(
+                f"DedupIndex.save: {path} exists; saves are append-only "
+                "snapshots — pick a fresh path per ingest epoch"
+            )
         self.seal()
         tmp = path + ".tmp"
-        os.makedirs(tmp, exist_ok=True)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # a crashed save with a different
+            # fan-out must not leak stale shard files into the snapshot
+        os.makedirs(tmp)
         n = sum(ray.get([
             s.dump_sealed.remote(os.path.join(tmp, f"shard-{i}.parquet"))
             for i, s in enumerate(self.shards)
         ]))
         with open(os.path.join(tmp, "index.json"), "w") as f:
             json.dump({"n_shards": self.n_shards, "entries": n}, f)
-        if os.path.exists(path):
-            raise FileExistsError(
-                f"DedupIndex.save: {path} exists; saves are append-only "
-                "snapshots — pick a fresh path per ingest epoch"
-            )
         os.replace(tmp, path)
         return n
 
@@ -234,7 +246,8 @@ def _digest_route(batch: pa.Table, n_shards: int):
     return digests, ids, shard_of
 
 
-def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
+def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",),
+                 stats: dict | None = None):
     """Two-phase incremental exact dedup of ``docs`` against (and
     into) ``index``: returns the surviving rows plus ``n_dups`` (this
     ingest's multiplicity folded onto the winner; for content sealed
@@ -244,6 +257,8 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
     Phase 1 (offer) is materialized as a barrier; phase 2 (lookup +
     filter) streams.  Output is deterministic: the winner is the
     global min doc_id among this ingest's copies, never a race.
+    Pass ``stats`` to receive ``n_input`` from the barrier's per-batch
+    counts — callers then don't pay a separate counting scan.
     """
     shards, n = index.shards, index.n_shards
 
@@ -267,7 +282,10 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",)):
         return pa.table({"n": pa.array([batch.num_rows],
                                        type=pa.int64())})
 
-    docs.map_batches(offer, batch_format="pyarrow").materialize()
+    counts = docs.map_batches(offer, batch_format="pyarrow").materialize()
+    if stats is not None:
+        # one row per batch — bounded by block count, not corpus size
+        stats["n_input"] = sum(r["n"] for r in counts.take_all())
 
     cols = list(keep_cols)
 

@@ -762,16 +762,19 @@ def run_ingest(input_path: str, output_dir: str, *,
     index = (DedupIndex.load(index_path) if index_path
              else DedupIndex(n_shards=n_shards))
     docs = read_documents(input_path)
-    n_input = docs.count()
     keep_cols = [c for c in docs.schema().names]
-    kept = ingest_dedup(docs, index, keep_cols=keep_cols)
+    stats: dict = {}
+    kept = ingest_dedup(docs, index, keep_cols=keep_cols, stats=stats)
 
     tmp = data_dir + "_tmp"
     for d in (tmp, data_dir):
         if os.path.isdir(d):
             shutil.rmtree(d)  # deterministic rebuild after a crash
+    os.makedirs(tmp)  # an all-duplicates epoch writes ZERO files —
+    # the dir must exist for the rename and stay valid when empty
     kept.write_parquet(tmp)
     os.replace(tmp, data_dir)
+    n_input = stats["n_input"]
 
     if os.path.isdir(index_dir):
         # crash landed between snapshot and completion key: the saved
@@ -783,7 +786,9 @@ def run_ingest(input_path: str, output_dir: str, *,
 
     import pyarrow.parquet as pq
 
-    n_kept = pq.read_table(data_dir, columns=["doc_id"]).num_rows
+    parts = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    n_kept = (pq.read_table(data_dir, columns=["doc_id"]).num_rows
+              if parts else 0)
     summary = {
         "job": "ingest",
         "input_docs": int(n_input),

@@ -488,3 +488,101 @@ def test_ingest_job_two_epochs_and_resume(ray_session, tmp_path):
     assert s1["input_docs"] == 10
     assert s1["kept"] == 7 and s1["dropped"] == 3
     assert s1["index_entries"] == 29 + 7
+
+
+def test_ingest_all_duplicates_epoch_completes(ray_session, tmp_path):
+    """The flagship use case's worst day: every input doc is already
+    in history — the epoch must complete with an empty (but valid)
+    data dir, not crash on the rename of a never-created tmp dir."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ollama_ocr_ray import synth
+    from ollama_ocr_ray.state.runner import run_ingest
+
+    t = synth.gen_table(20, seed=5)
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(t, src / "part-0.parquet")
+    s0 = run_ingest(str(src), str(tmp_path / "e0"), n_shards=2)
+    assert s0["kept"] == 20
+
+    # same content, fresh ids -> 100% duplicates of history
+    import pyarrow as pa
+
+    t1 = pa.table({
+        "doc_id": pa.array([f"new-{i}" for i in range(20)]),
+        "spans": t.column("spans"),
+    })
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    pq.write_table(t1, src1 / "part-0.parquet")
+    s1 = run_ingest(str(src1), str(tmp_path / "e1"),
+                    index_path=s0["index_dir"])
+    assert s1 == {"job": "ingest", "input_docs": 20, "kept": 0,
+                  "dropped": 20, "index_entries": 20,
+                  "index_dir": s1["index_dir"]}
+    assert os.path.isdir(os.path.join(str(tmp_path / "e1"), "data"))
+    # the completion key makes the rerun a no-op even with 0 rows
+    assert run_ingest(str(src1), str(tmp_path / "e1"),
+                      index_path=s0["index_dir"]) == s1
+
+
+def test_ingest_mixed_id_types_across_epochs(ray_session, tmp_path):
+    """Epoch 0 with int64 ids (parquet corpus), epoch 1 with string ids
+    (JSONL crawl shard): the snapshot must round-trip both id kinds and
+    old content must drop regardless of id type."""
+    import json
+
+    import pyarrow as pa
+
+    from ollama_ocr_ray.state.dedup_index import DedupIndex, ingest_dedup
+    import ray.data as rd
+
+    a = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["alpha", "beta"])})
+    idx = DedupIndex(n_shards=2)
+    ingest_dedup(rd.from_arrow(a), idx).materialize()
+    snap0 = str(tmp_path / "s0")
+    assert idx.save(snap0) == 2
+
+    idx1 = DedupIndex.load(snap0)
+    b = pa.table({"doc_id": pa.array(["x1", "x2", "x3"]),
+                  "text": pa.array(["alpha", "gamma", "gamma"])})
+    kept = {r["doc_id"] for r in ingest_dedup(
+        rd.from_arrow(b).repartition(2), idx1).take_all()}
+    assert kept == {"x2"}
+    snap1 = str(tmp_path / "s1")
+    assert idx1.save(snap1) == 3  # 2 sealed ints + 1 new string winner
+
+    idx2 = DedupIndex.load(snap1)
+    sizes = idx2.sizes()
+    assert sum(s for s, _ in sizes) == 3
+
+
+def test_list_input_files_ignores_json_sidecars(tmp_path):
+    """A .json metadata sidecar next to parquet parts is not data; a
+    JSONL-only directory still reads JSONL."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ollama_ocr_ray.sources.io import list_input_files
+
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1]}), d / "part-0.parquet")
+    with open(d / "ingest.json", "w") as f:
+        _json.dump({"meta": True}, f)
+    files = list_input_files(str(d))
+    assert files == [str(d / "part-0.parquet")]
+
+    d2 = tmp_path / "t2"
+    d2.mkdir()
+    with open(d2 / "part-0.jsonl", "w") as f:
+        f.write('{"a": 1}\n')
+    with open(d2 / "state.json", "w") as f:
+        _json.dump({"meta": True}, f)
+    assert list_input_files(str(d2)) == [str(d2 / "part-0.jsonl")]
