@@ -857,6 +857,57 @@ def q_index_dedup(sf_dir: str):
     return ingest_dedup(ds, index)
 
 
+def q_neardup_ingest(sf_dir: str):
+    """Incremental NEAR-dup gate (the semdedup_gate pattern —
+    deterministic synthetic input, boolean oracle): epoch 0 seals 40
+    docs into a NearDupIndex; epoch 1 carries 15 mutated copies of
+    history plus 25 fresh docs.  Asserts every mutated copy drops and
+    every fresh doc survives (state/dedup_index.ingest_neardup:
+    LSH-band shard probe + signature-Jaccard verify, min-id/sealed
+    keep-rule)."""
+    import ray.data as rd
+
+    from .state.dedup_index import NearDupIndex, ingest_neardup
+
+    rng = np.random.RandomState(19)
+
+    def doc():
+        return " ".join(f"w{rng.randint(0, 4000):04d}" for _ in range(60))
+
+    old = [doc() for _ in range(40)]
+    t0 = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                   "text": pa.array(old)})
+    index = NearDupIndex(n_shards=4)
+    ingest_neardup(rd.from_arrow(t0).repartition(4), index).materialize()
+    index.seal()
+
+    texts1, ids1 = [], []
+    for i in range(15):
+        words = old[i].split()
+        words[7] = "EDITED"
+        texts1.append(" ".join(words))
+        ids1.append(1000 + i)
+    for i in range(25):
+        texts1.append(doc())
+        ids1.append(2000 + i)
+    t1 = pa.table({"doc_id": pa.array(ids1, type=pa.int64()),
+                   "text": pa.array(texts1)})
+    kept = {
+        r["doc_id"]
+        for r in ingest_neardup(rd.from_arrow(t1).repartition(4), index,
+                                threshold=0.7).take_all()
+    }
+    return pa.table(
+        {
+            "n_kept": pa.array([len(kept)], type=pa.int64()),
+            "history_dups_dropped": pa.array(
+                [not any(i < 2000 for i in kept)]),
+            "fresh_kept": pa.array(
+                [kept >= {2000 + i for i in range(25)}]),
+        }
+    )
+
+
 def q_value_quantiles(sf_dir: str):
     """Continuous-domain quantile sketch gate (the approx_users
     within-bound pattern): KLL p50/p90/p99 of events.value per
@@ -1459,7 +1510,6 @@ def queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "knn_join": q_knn_join,
         # --- text analysis --- (lang_summary is the warmup entry above)
-        "decontaminate": q_decontaminate,
         # --- sampling / sketches ---
         "lang_sample": q_lang_sample,
         "source_mix": q_source_mix,
@@ -1476,6 +1526,7 @@ def queries() -> dict:
         "hash_split": q_hash_split,
         "value_quantiles": q_value_quantiles,
         "index_dedup": q_index_dedup,
+        "neardup_ingest": q_neardup_ingest,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -1499,6 +1550,9 @@ def queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "top_2gram": q_top_2gram,
         "scrub_pii": q_scrub_pii,
+        # decontaminate green since r2; decon_bloom (same oracle, same
+        # scan contract) stays inside the cap as its sentinel
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "vocab_top_terms": q_vocab_top_terms,
         "tfidf_scores": q_tfidf_scores,
@@ -2431,6 +2485,14 @@ def oracle_sql() -> dict:
     # index_dedup: deterministic two-phase protocol == the batch
     # exact-dedup contract.
     d["index_dedup"] = d["exact_dedup"]
+    # neardup_ingest: deterministic seeded input, boolean gate (the
+    # semdedup_gate pattern) — 25 fresh docs kept, all history
+    # near-dups dropped.
+    d["neardup_ingest"] = """
+        SELECT CAST(25 AS BIGINT) AS n_kept,
+               CAST(TRUE AS BOOLEAN) AS history_dups_dropped,
+               CAST(TRUE AS BOOLEAN) AS fresh_kept
+    """
     # value_quantiles: the within-bound boolean gate pattern — the
     # rank-error assertion is computed Ray-side; the oracle pins the
     # group keys and asserts every bound held.

@@ -317,3 +317,259 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",),
         )
 
     return docs.map_batches(keep_winners, batch_format="pyarrow")
+
+
+# --- incremental NEAR-dup: LSH signature index ------------------------------
+#
+# The exact index above answers "have I exported this exact content?".
+# Real crawls re-ingest boilerplate-mutated copies, so the incremental
+# question is fuzzy: "is this a near-duplicate of anything in history?".
+# Same actor-shard shape, but entries are MinHash signatures routed by
+# LSH band bucket: a new document probes its ``bands`` buckets, and
+# candidates are verified by the signature-equality Jaccard estimate
+# (mean over num_perm permutations — the standard unbiased estimator).
+# Banding recall is the same trade as the batch MinHash plan
+# (functions/dedup.py): a true near-dup pair collides in >= 1 band
+# with the usual S-curve probability; missed-band pairs are the
+# documented recall cost, measured by the gate query, never silent.
+#
+# Memory trade (documented, deliberate): each entry stores its
+# signature in EVERY band bucket (bands x sig_bytes per doc) so a
+# probe is one hop; at 100 TB one would store signatures once in an
+# id-routed shard and pay a second lookup hop instead.
+
+
+def _band_buckets(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 bucket keys: FNV fold over each band segment
+    (the same mixing shape as the batch plan's band exchange — any
+    deterministic mix works; identical segments always collide)."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    sig3 = sigs.astype(np.uint64, copy=False).reshape(n, bands, r)
+    prime = np.uint64(1099511628211)
+    acc = np.broadcast_to(
+        (np.uint64(14695981039346656037)
+         ^ np.arange(bands, dtype=np.uint64)) * prime,
+        (n, bands),
+    ).copy()
+    for j in range(r):
+        acc = (acc ^ sig3[:, :, j]) * prime
+    return (acc & np.uint64((1 << 62) - 1)).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class SigShard:
+    """One bucket-space slice: ``bucket -> [(doc_id, sig_bytes,
+    sealed)]`` plus the same per-batch idempotency keys as IndexShard."""
+
+    def __init__(self):
+        self._bands: dict = {}
+        self._seen_keys: set = set()
+
+    def offer(self, key, buckets: list, ids: list, sigs: list) -> int:
+        if key in self._seen_keys:
+            return 0
+        self._seen_keys.add(key)
+        for b, i, s in zip(buckets, ids, sigs):
+            self._bands.setdefault(b, []).append((i, s, False))
+        return len(self._bands)
+
+    def candidates(self, buckets: list) -> list:
+        return [self._bands.get(b, []) for b in buckets]
+
+    def seal(self) -> int:
+        for b, lst in self._bands.items():
+            self._bands[b] = [(i, s, True) for i, s, _ in lst]
+        self._seen_keys = set()
+        return sum(len(v) for v in self._bands.values())
+
+    def dump_sealed(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        rows = [
+            (b, e[0], e[1])
+            for b, lst in self._bands.items()
+            for e in lst if e[2]
+        ]
+        t = pa.table(
+            {
+                "bucket": pa.array([r[0] for r in rows], type=pa.int64()),
+                "doc_id": pa.array([str(r[1]) for r in rows],
+                                   type=pa.string()),
+                "id_kind": pa.array(
+                    ["i" if isinstance(r[1], (int, np.integer)) else "s"
+                     for r in rows], type=pa.string()),
+                "sig": pa.array([r[2] for r in rows], type=pa.binary()),
+            }
+        )
+        pq.write_table(t, path)
+        return t.num_rows
+
+    def load_sealed(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        self._bands = {}
+        for b, i, k, s in zip(t.column("bucket").to_pylist(),
+                              t.column("doc_id").to_pylist(),
+                              t.column("id_kind").to_pylist(),
+                              t.column("sig").to_pylist()):
+            self._bands.setdefault(b, []).append(
+                (int(i) if k == "i" else i, s, True)
+            )
+        return t.num_rows
+
+
+class NearDupIndex:
+    """Driver-side handle; MinHash parameters are part of the index
+    identity (signatures from different parameters are incomparable),
+    so they are pinned in the snapshot's ``index.json`` and a reload
+    reconstructs the exact hasher."""
+
+    def __init__(self, n_shards: int = 8, *, num_perm: int = 64,
+                 bands: int = 16, shingle_k: int = 3, seed: int = 42):
+        self.n_shards = n_shards
+        self.params = {"num_perm": num_perm, "bands": bands,
+                       "shingle_k": shingle_k, "seed": seed}
+        self.shards = [SigShard.remote() for _ in range(n_shards)]
+
+    def make_hasher(self):
+        from ..functions.dedup import MinHashLSH
+
+        return MinHashLSH(**self.params)
+
+    def seal(self) -> int:
+        return sum(ray.get([s.seal.remote() for s in self.shards]))
+
+    def save(self, path: str) -> int:
+        import json
+        import os
+        import shutil
+
+        if os.path.exists(path):
+            raise FileExistsError(
+                f"NearDupIndex.save: {path} exists; saves are "
+                "append-only snapshots — pick a fresh path per epoch"
+            )
+        self.seal()
+        tmp = path + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        n = sum(ray.get([
+            s.dump_sealed.remote(os.path.join(tmp, f"shard-{i}.parquet"))
+            for i, s in enumerate(self.shards)
+        ]))
+        with open(os.path.join(tmp, "index.json"), "w") as f:
+            json.dump({"n_shards": self.n_shards, "entries": n,
+                       "params": self.params, "kind": "neardup"}, f)
+        os.replace(tmp, path)
+        return n
+
+    @classmethod
+    def load(cls, path: str) -> "NearDupIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "index.json")) as f:
+            meta = json.load(f)
+        index = cls(n_shards=meta["n_shards"], **meta["params"])
+        ray.get([
+            s.load_sealed.remote(os.path.join(path, f"shard-{i}.parquet"))
+            for i, s in enumerate(index.shards)
+        ])
+        return index
+
+
+def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
+                   keep_cols=("doc_id",)):
+    """Two-phase incremental NEAR-dup filter: a document drops when
+    any LSH-candidate's estimated Jaccard is >= ``threshold`` AND the
+    candidate is history (sealed) or an epoch-mate with a smaller id —
+    the same deterministic pairwise keep-rule as ``emb_dedup_apply``
+    (min id wins; no arrival-order races).  Requires a ``text``
+    column and unique doc_ids across epochs.
+
+    The candidate-verify loop is per document over its (few) bucket
+    hits, with the signature comparison itself vectorized across all
+    of a document's candidates."""
+    shards, n = index.shards, index.n_shards
+    hasher = index.make_hasher()
+    bands = index.params["bands"]
+
+    def _sigs_buckets(batch: pa.Table):
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = hasher.signature_batch(texts)
+        buckets = _band_buckets(sigs, bands) if len(texts) else \
+            np.empty((0, bands), dtype=np.int64)
+        return ids, sigs, buckets
+
+    def offer(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([0], type=pa.int64())})
+        ids, sigs, buckets = _sigs_buckets(batch)
+        key = ids.min()
+        key = key.item() if hasattr(key, "item") else key
+        flat_b = buckets.reshape(-1)
+        flat_i = np.repeat(np.arange(len(ids)), bands)
+        shard_of = flat_b % n
+        refs = []
+        for s in np.unique(shard_of):
+            m = shard_of == s
+            di = flat_i[m]
+            refs.append(shards[int(s)].offer.remote(
+                key,
+                flat_b[m].tolist(),
+                [ids[j].item() if hasattr(ids[j], "item") else ids[j]
+                 for j in di],
+                [sigs[j].tobytes() for j in di],
+            ))
+        ray.get(refs)
+        return pa.table({"n": pa.array([batch.num_rows],
+                                       type=pa.int64())})
+
+    docs.map_batches(offer, batch_format="pyarrow").materialize()
+
+    cols = list(keep_cols)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch.select(cols)
+        ids, sigs, buckets = _sigs_buckets(batch)
+        uniq = np.unique(buckets.reshape(-1))
+        shard_of = uniq % n
+        bucket_entries: dict = {}
+        refs, groups = [], []
+        for s in np.unique(shard_of):
+            m = shard_of == s
+            groups.append(uniq[m])
+            refs.append(shards[int(s)].candidates.remote(
+                uniq[m].tolist()))
+        for grp, res in zip(groups, ray.get(refs)):
+            for b, entries in zip(grp, res):
+                bucket_entries[int(b)] = entries
+        keep_mask = np.ones(len(ids), dtype=bool)
+        for j in range(len(ids)):
+            own = ids[j].item() if hasattr(ids[j], "item") else ids[j]
+            cand: dict = {}
+            for b in buckets[j]:
+                for cid, csig, sealed in bucket_entries.get(int(b), []):
+                    if cid != own:
+                        cand[cid] = (csig, sealed)
+            if not cand:
+                continue
+            mat = np.frombuffer(
+                b"".join(c[0] for c in cand.values()),
+                dtype=hasher._SIG_DTYPE,
+            ).reshape(len(cand), -1)
+            sims = (mat == sigs[j]).mean(axis=1)
+            for (cid, (_, sealed)), sim in zip(cand.items(), sims):
+                if sim >= threshold and (sealed or cid < own):
+                    keep_mask[j] = False
+                    break
+        return batch.filter(pa.array(keep_mask)).select(cols)
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -586,3 +586,86 @@ def test_list_input_files_ignores_json_sidecars(tmp_path):
     with open(d2 / "state.json", "w") as f:
         _json.dump({"meta": True}, f)
     assert list_input_files(str(d2)) == [str(d2 / "part-0.jsonl")]
+
+
+def _word_doc(rng, n=60):
+    return " ".join(f"w{rng.randint(0, 5000):04d}" for _ in range(n))
+
+
+def test_neardup_index_within_epoch(ray_session):
+    """Planted mutated copies drop (min id wins), distinct docs all
+    survive — the deterministic pairwise keep-rule."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import (
+        NearDupIndex,
+        ingest_neardup,
+    )
+
+    rng = np.random.RandomState(13)
+    texts, ids = [], []
+    for g in range(10):                      # 10 near-dup pairs
+        base = _word_doc(rng)
+        words = base.split()
+        words[5] = "CHANGED"
+        texts += [base, " ".join(words)]
+        ids += [2 * g, 2 * g + 1]
+    for i in range(30):                      # 30 singles
+        texts.append(_word_doc(rng))
+        ids.append(100 + i)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    index = NearDupIndex(n_shards=3)
+    kept = {
+        r["doc_id"]
+        for r in ingest_neardup(
+            rd.from_arrow(t).repartition(5), index, threshold=0.7
+        ).take_all()
+    }
+    assert kept == {2 * g for g in range(10)} | {100 + i
+                                                 for i in range(30)}
+
+
+def test_neardup_index_cross_epoch_save_load(ray_session, tmp_path):
+    """Epoch 0 sealed + saved; epoch 1's mutated copies of history
+    drop, fresh docs survive — through a snapshot round-trip."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import (
+        NearDupIndex,
+        ingest_neardup,
+    )
+
+    rng = np.random.RandomState(29)
+    old = [_word_doc(rng) for _ in range(8)]
+    t0 = pa.table({"doc_id": pa.array(range(8), type=pa.int64()),
+                   "text": pa.array(old)})
+    idx = NearDupIndex(n_shards=2, num_perm=64, bands=16)
+    ingest_neardup(rd.from_arrow(t0).repartition(2), idx).materialize()
+    snap = str(tmp_path / "nd-epoch0")
+    assert idx.save(snap) > 0
+
+    idx1 = NearDupIndex.load(snap)
+    assert idx1.params["num_perm"] == 64
+    texts1, ids1 = [], []
+    for i in range(4):                      # mutated copies of history
+        words = old[i].split()
+        words[3] = "EDITED"
+        texts1.append(" ".join(words))
+        ids1.append(1000 + i)
+    fresh = [_word_doc(rng) for _ in range(5)]
+    texts1 += fresh
+    ids1 += [2000 + i for i in range(5)]
+    t1 = pa.table({"doc_id": pa.array(ids1, type=pa.int64()),
+                   "text": pa.array(texts1)})
+    kept = {
+        r["doc_id"]
+        for r in ingest_neardup(
+            rd.from_arrow(t1).repartition(3), idx1, threshold=0.7
+        ).take_all()
+    }
+    assert kept == {2000 + i for i in range(5)}
