@@ -878,7 +878,7 @@ def q_neardup_ingest(sf_dir: str):
     t0 = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
                    "text": pa.array(old)})
     index = NearDupIndex(n_shards=4)
-    ingest_neardup(rd.from_arrow(t0).repartition(4), index).materialize()
+    ingest_neardup(rd.from_arrow(t0).repartition(4), index)  # materialized internally
     index.seal()
 
     texts1, ids1 = [], []

@@ -169,39 +169,28 @@ class DedupIndex:
         return ray.get([s.size.remote() for s in self.shards])
 
     def save(self, path: str) -> int:
-        """Seal, then persist every shard (parallel, atomic via
-        tmp+rename of the directory)."""
-        import json
+        """Seal, then persist every shard (parallel, atomic via the
+        shared ``_atomic_snapshot_save`` scaffolding)."""
         import os
-        import shutil
 
-        if os.path.exists(path):
-            raise FileExistsError(
-                f"DedupIndex.save: {path} exists; saves are append-only "
-                "snapshots — pick a fresh path per ingest epoch"
-            )
         self.seal()
-        tmp = path + ".tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)  # a crashed save with a different
-            # fan-out must not leak stale shard files into the snapshot
-        os.makedirs(tmp)
-        n = sum(ray.get([
-            s.dump_sealed.remote(os.path.join(tmp, f"shard-{i}.parquet"))
-            for i, s in enumerate(self.shards)
-        ]))
-        with open(os.path.join(tmp, "index.json"), "w") as f:
-            json.dump({"n_shards": self.n_shards, "entries": n}, f)
-        os.replace(tmp, path)
-        return n
+
+        def dump(tmp):
+            return sum(ray.get([
+                s.dump_sealed.remote(
+                    os.path.join(tmp, f"shard-{i}.parquet"))
+                for i, s in enumerate(self.shards)
+            ]))
+
+        return _atomic_snapshot_save(
+            path, {"n_shards": self.n_shards, "kind": "exact"}, dump
+        )
 
     @classmethod
     def load(cls, path: str) -> "DedupIndex":
-        import json
         import os
 
-        with open(os.path.join(path, "index.json")) as f:
-            meta = json.load(f)
+        meta = _load_snapshot_meta(path, "exact")
         index = cls(n_shards=meta["n_shards"])
         ray.get([
             s.load_sealed.remote(os.path.join(path, f"shard-{i}.parquet"))
@@ -339,32 +328,41 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",),
 # id-routed shard and pay a second lookup hop instead.
 
 
-def _band_buckets(sigs: np.ndarray, bands: int) -> np.ndarray:
-    """(n, bands) int64 bucket keys: FNV fold over each band segment
-    (the same mixing shape as the batch plan's band exchange — any
-    deterministic mix works; identical segments always collide)."""
-    n, num_perm = sigs.shape
-    r = num_perm // bands
-    sig3 = sigs.astype(np.uint64, copy=False).reshape(n, bands, r)
-    prime = np.uint64(1099511628211)
-    acc = np.broadcast_to(
-        (np.uint64(14695981039346656037)
-         ^ np.arange(bands, dtype=np.uint64)) * prime,
-        (n, bands),
-    ).copy()
-    for j in range(r):
-        acc = (acc ^ sig3[:, :, j]) * prime
-    return (acc & np.uint64((1 << 62) - 1)).astype(np.int64)
+def _encode_id(i):
+    """(str, kind) round-trip encoding shared by both snapshot formats
+    (ids may mix int and string across epochs)."""
+    return str(i), ("i" if isinstance(i, (int, np.integer)) else "s")
+
+
+def _decode_id(s: str, kind: str):
+    return int(s) if kind == "i" else s
+
+
+def _id_lt(a, b) -> bool:
+    """Total order over possibly mixed-type ids (int epoch vs string
+    epoch sharing one unsealed index): same kind compares naturally,
+    ints order before strings — any fixed rule works, it only has to
+    be deterministic."""
+    ka, kb = isinstance(a, str), isinstance(b, str)
+    if ka != kb:
+        return kb  # int < str
+    return a < b
 
 
 @ray.remote(num_cpus=0)
 class SigShard:
     """One bucket-space slice: ``bucket -> [(doc_id, sig_bytes,
-    sealed)]`` plus the same per-batch idempotency keys as IndexShard."""
+    sealed)]`` plus the same per-batch idempotency keys as IndexShard.
+
+    ``mark`` records the ids the keep phase decided to EXPORT; ``seal``
+    then keeps only marked open entries — a dropped document's
+    signature must NOT become history, or later epochs over-drop docs
+    whose only near-dup was never exported (transitive chain-drops)."""
 
     def __init__(self):
         self._bands: dict = {}
         self._seen_keys: set = set()
+        self._marked: set = set()
 
     def offer(self, key, buckets: list, ids: list, sigs: list) -> int:
         if key in self._seen_keys:
@@ -377,10 +375,20 @@ class SigShard:
     def candidates(self, buckets: list) -> list:
         return [self._bands.get(b, []) for b in buckets]
 
+    def mark(self, ids: list) -> None:
+        self._marked.update(ids)
+
     def seal(self) -> int:
-        for b, lst in self._bands.items():
-            self._bands[b] = [(i, s, True) for i, s, _ in lst]
+        marked = self._marked
+        for b in list(self._bands):
+            kept = [(i, s, True) for i, s, sealed in self._bands[b]
+                    if sealed or i in marked]
+            if kept:
+                self._bands[b] = kept
+            else:
+                del self._bands[b]
         self._seen_keys = set()
+        self._marked = set()
         return sum(len(v) for v in self._bands.values())
 
     def dump_sealed(self, path: str) -> int:
@@ -391,14 +399,13 @@ class SigShard:
             for b, lst in self._bands.items()
             for e in lst if e[2]
         ]
+        enc = [_encode_id(r[1]) for r in rows]
         t = pa.table(
             {
                 "bucket": pa.array([r[0] for r in rows], type=pa.int64()),
-                "doc_id": pa.array([str(r[1]) for r in rows],
-                                   type=pa.string()),
-                "id_kind": pa.array(
-                    ["i" if isinstance(r[1], (int, np.integer)) else "s"
-                     for r in rows], type=pa.string()),
+                "doc_id": pa.array([e[0] for e in enc], type=pa.string()),
+                "id_kind": pa.array([e[1] for e in enc],
+                                    type=pa.string()),
                 "sig": pa.array([r[2] for r in rows], type=pa.binary()),
             }
         )
@@ -415,9 +422,50 @@ class SigShard:
                               t.column("id_kind").to_pylist(),
                               t.column("sig").to_pylist()):
             self._bands.setdefault(b, []).append(
-                (int(i) if k == "i" else i, s, True)
+                (_decode_id(i, k), s, True)
             )
         return t.num_rows
+
+
+def _atomic_snapshot_save(path: str, meta: dict, dump) -> int:
+    """Shared save scaffolding for both index kinds: append-only
+    guard FIRST (before any dump work), stale-tmp cleanup, shard-
+    parallel dump via ``dump(tmp_dir)``, meta last, atomic rename."""
+    import json
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        raise FileExistsError(
+            f"index save: {path} exists; saves are append-only "
+            "snapshots — pick a fresh path per ingest epoch"
+        )
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # a crashed save with a different fan-out
+        # must not leak stale shard files into the snapshot
+    os.makedirs(tmp)
+    n = dump(tmp)
+    with open(os.path.join(tmp, "index.json"), "w") as f:
+        json.dump({**meta, "entries": n}, f)
+    os.replace(tmp, path)
+    return n
+
+
+def _load_snapshot_meta(path: str, expect_kind: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "index.json")) as f:
+        meta = json.load(f)
+    kind = meta.get("kind", "exact")  # pre-kind snapshots were exact
+    if kind != expect_kind:
+        raise ValueError(
+            f"index load: {path} is a '{kind}' snapshot, not "
+            f"'{expect_kind}' — exact and near-dup snapshots are not "
+            "interchangeable"
+        )
+    return meta
 
 
 class NearDupIndex:
@@ -442,37 +490,29 @@ class NearDupIndex:
         return sum(ray.get([s.seal.remote() for s in self.shards]))
 
     def save(self, path: str) -> int:
-        import json
         import os
-        import shutil
 
-        if os.path.exists(path):
-            raise FileExistsError(
-                f"NearDupIndex.save: {path} exists; saves are "
-                "append-only snapshots — pick a fresh path per epoch"
-            )
         self.seal()
-        tmp = path + ".tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        n = sum(ray.get([
-            s.dump_sealed.remote(os.path.join(tmp, f"shard-{i}.parquet"))
-            for i, s in enumerate(self.shards)
-        ]))
-        with open(os.path.join(tmp, "index.json"), "w") as f:
-            json.dump({"n_shards": self.n_shards, "entries": n,
-                       "params": self.params, "kind": "neardup"}, f)
-        os.replace(tmp, path)
-        return n
+
+        def dump(tmp):
+            return sum(ray.get([
+                s.dump_sealed.remote(
+                    os.path.join(tmp, f"shard-{i}.parquet"))
+                for i, s in enumerate(self.shards)
+            ]))
+
+        return _atomic_snapshot_save(
+            path,
+            {"n_shards": self.n_shards, "params": self.params,
+             "kind": "neardup"},
+            dump,
+        )
 
     @classmethod
     def load(cls, path: str) -> "NearDupIndex":
-        import json
         import os
 
-        with open(os.path.join(path, "index.json")) as f:
-            meta = json.load(f)
+        meta = _load_snapshot_meta(path, "neardup")
         index = cls(n_shards=meta["n_shards"], **meta["params"])
         ray.get([
             s.load_sealed.remote(os.path.join(path, f"shard-{i}.parquet"))
@@ -483,12 +523,22 @@ class NearDupIndex:
 
 def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
                    keep_cols=("doc_id",)):
-    """Two-phase incremental NEAR-dup filter: a document drops when
-    any LSH-candidate's estimated Jaccard is >= ``threshold`` AND the
+    """Incremental NEAR-dup filter: a document drops when any
+    LSH-candidate's estimated Jaccard is >= ``threshold`` AND the
     candidate is history (sealed) or an epoch-mate with a smaller id —
     the same deterministic pairwise keep-rule as ``emb_dedup_apply``
     (min id wins; no arrival-order races).  Requires a ``text``
     column and unique doc_ids across epochs.
+
+    THREE phases, and the result is returned MATERIALIZED: offer
+    (register this epoch's signatures, barrier), keep (probe + verify
+    + filter, each batch also ``mark``s its survivors on the shards),
+    and the implicit finalize — ``seal()``/``save()`` prune every
+    unmarked entry, because a dropped document's signature must not
+    suppress future documents (it was never exported).  Returning the
+    keep pass lazily would let a caller seal before the marks landed,
+    silently emptying the epoch's contribution — hence the internal
+    materialize.
 
     The candidate-verify loop is per document over its (few) bucket
     hits, with the signature comparison itself vectorized across all
@@ -498,10 +548,13 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
     bands = index.params["bands"]
 
     def _sigs_buckets(batch: pa.Table):
+        from ..functions.dedup import band_buckets
+
         texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = [i.item() if hasattr(i, "item") else i for i in ids_np]
         sigs = hasher.signature_batch(texts)
-        buckets = _band_buckets(sigs, bands) if len(texts) else \
+        buckets = band_buckets(sigs, bands) if len(texts) else \
             np.empty((0, bands), dtype=np.int64)
         return ids, sigs, buckets
 
@@ -510,8 +563,9 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
         if batch.num_rows == 0:
             return pa.table({"n": pa.array([0], type=pa.int64())})
         ids, sigs, buckets = _sigs_buckets(batch)
-        key = ids.min()
-        key = key.item() if hasattr(key, "item") else key
+        sig_bytes = [s.tobytes() for s in sigs]  # once per doc, not
+        # once per (doc, band)
+        key = min(ids)
         flat_b = buckets.reshape(-1)
         flat_i = np.repeat(np.arange(len(ids)), bands)
         shard_of = flat_b % n
@@ -522,9 +576,8 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
             refs.append(shards[int(s)].offer.remote(
                 key,
                 flat_b[m].tolist(),
-                [ids[j].item() if hasattr(ids[j], "item") else ids[j]
-                 for j in di],
-                [sigs[j].tobytes() for j in di],
+                [ids[j] for j in di],
+                [sig_bytes[j] for j in di],
             ))
         ray.get(refs)
         return pa.table({"n": pa.array([batch.num_rows],
@@ -552,8 +605,7 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
             for b, entries in zip(grp, res):
                 bucket_entries[int(b)] = entries
         keep_mask = np.ones(len(ids), dtype=bool)
-        for j in range(len(ids)):
-            own = ids[j].item() if hasattr(ids[j], "item") else ids[j]
+        for j, own in enumerate(ids):
             cand: dict = {}
             for b in buckets[j]:
                 for cid, csig, sealed in bucket_entries.get(int(b), []):
@@ -567,9 +619,24 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
             ).reshape(len(cand), -1)
             sims = (mat == sigs[j]).mean(axis=1)
             for (cid, (_, sealed)), sim in zip(cand.items(), sims):
-                if sim >= threshold and (sealed or cid < own):
+                if sim >= threshold and (sealed or _id_lt(cid, own)):
                     keep_mask[j] = False
                     break
+        # survivors become this epoch's history candidates: mark them
+        # on every shard holding one of their band entries (mark is
+        # idempotent, so Ray task retries are safe)
+        kept_idx = np.nonzero(keep_mask)[0]
+        if len(kept_idx):
+            mark_refs = []
+            kept_flat = np.isin(flat_doc := np.repeat(
+                np.arange(len(ids)), bands), kept_idx)
+            flat_b = buckets.reshape(-1)
+            shard_of = flat_b % n
+            for s in np.unique(shard_of[kept_flat]):
+                m = kept_flat & (shard_of == s)
+                mark_refs.append(shards[int(s)].mark.remote(
+                    list({ids[j] for j in flat_doc[m]})))
+            ray.get(mark_refs)
         return batch.filter(pa.array(keep_mask)).select(cols)
 
-    return docs.map_batches(keep, batch_format="pyarrow")
+    return docs.map_batches(keep, batch_format="pyarrow").materialize()

@@ -645,7 +645,7 @@ def test_neardup_index_cross_epoch_save_load(ray_session, tmp_path):
     t0 = pa.table({"doc_id": pa.array(range(8), type=pa.int64()),
                    "text": pa.array(old)})
     idx = NearDupIndex(n_shards=2, num_perm=64, bands=16)
-    ingest_neardup(rd.from_arrow(t0).repartition(2), idx).materialize()
+    ingest_neardup(rd.from_arrow(t0).repartition(2), idx)  # returns materialized
     snap = str(tmp_path / "nd-epoch0")
     assert idx.save(snap) > 0
 
@@ -669,3 +669,74 @@ def test_neardup_index_cross_epoch_save_load(ray_session, tmp_path):
         ).take_all()
     }
     assert kept == {2000 + i for i in range(5)}
+
+
+def test_neardup_seal_prunes_dropped_signatures(ray_session, tmp_path):
+    """Review repro: a dropped doc's signature must NOT become history.
+    Epoch 0: A and B near-dup -> B drops, only A exports.  Epoch 1: C
+    is a near-dup of B but NOT of A -> C must SURVIVE (its only
+    near-dup was never exported), and the snapshot must not contain
+    B's signature."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import (
+        NearDupIndex,
+        ingest_neardup,
+    )
+
+    rng = np.random.RandomState(41)
+    a = _word_doc(rng, n=60)
+    words = a.split()
+    # B: A with 10 words changed (sim(A,B) high); C: B with 10 MORE
+    # changed (sim(B,C) high, sim(A,C) lower)
+    wb = list(words)
+    for i in range(0, 10):
+        wb[i] = f"B{i}"
+    wc = list(wb)
+    for i in range(30, 40):
+        wc[i] = f"C{i}"
+    b, c = " ".join(wb), " ".join(wc)
+
+    idx = NearDupIndex(n_shards=2)
+    t0 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                   "text": pa.array([a, b])})
+    kept0 = {r["doc_id"] for r in ingest_neardup(
+        rd.from_arrow(t0).repartition(2), idx, threshold=0.6
+    ).take_all()}
+    assert kept0 == {1}  # B dropped
+    snap = str(tmp_path / "nd")
+    n_entries = idx.save(snap)
+    # only A's signature persists: bands x 1 doc
+    assert n_entries == idx.params["bands"]
+
+    idx1 = NearDupIndex.load(snap)
+    t1 = pa.table({"doc_id": pa.array([100], type=pa.int64()),
+                   "text": pa.array([c])})
+    kept1 = {r["doc_id"] for r in ingest_neardup(
+        rd.from_arrow(t1).repartition(1), idx1, threshold=0.6
+    ).take_all()}
+    assert kept1 == {100}  # C survives: its only near-dup was B
+
+
+def test_index_snapshot_kinds_not_interchangeable(ray_session, tmp_path):
+    """Loading an exact snapshot as near-dup (or vice versa) fails
+    with a clear error, not a KeyError deep in a remote task."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import (
+        DedupIndex,
+        NearDupIndex,
+        ingest_dedup,
+    )
+
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array(["x"])})
+    idx = DedupIndex(n_shards=2)
+    ingest_dedup(rd.from_arrow(t), idx).materialize()
+    snap = str(tmp_path / "exact-snap")
+    idx.save(snap)
+    with pytest.raises(ValueError, match="not 'neardup'"):
+        NearDupIndex.load(snap)
