@@ -761,7 +761,12 @@ def run_ingest(input_path: str, output_dir: str, *,
 
     index = (DedupIndex.load(index_path) if index_path
              else DedupIndex(n_shards=n_shards))
-    docs = read_documents(input_path)
+    # the index accepts BOTH corpus shapes (interleaved spans or flat
+    # text); the interleaved schema validator only applies to the
+    # former, so probe the schema first
+    docs = read_documents(input_path, validate=False)
+    if "spans" in docs.schema().names:
+        docs = read_documents(input_path, validate=True)
     keep_cols = [c for c in docs.schema().names]
     stats: dict = {}
     kept = ingest_dedup(docs, index, keep_cols=keep_cols, stats=stats)

@@ -330,3 +330,66 @@ def test_top_2gram_many_ties():
     assert got[0]["top_gram"] == "b a" and got[0]["top_count"] == 2
     # doc1 grams: (z y)(y z)(z y)(y z) → tie 2-2 → 'y z'
     assert got[1]["top_gram"] == "y z" and got[1]["top_count"] == 2
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000), st.integers(2, 30), st.integers(4, 64))
+def test_heavy_hitters_raise_or_exact(ray_session, seed, k, m):
+    """The certificate property: heavy_hitters_exact either raises
+    (candidate cut unprovable for this (corpus, k, m)) or returns the
+    EXACT brute-force top-k — never a silently approximate answer."""
+    import collections
+
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import heavy_hitters_exact
+
+    rng = np.random.RandomState(seed)
+    vocab_n = rng.randint(5, 400)
+    # random skew: zipf-ish exponent in [0.3, 2.0]
+    w = 1.0 / np.arange(1, vocab_n + 1) ** rng.uniform(0.3, 2.0)
+    w /= w.sum()
+    vocab = np.array([f"t{i:03d}" for i in range(vocab_n)])
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(1, 40), p=w))
+            for _ in range(rng.randint(1, 60))]
+    counter = collections.Counter()
+    for d in docs:
+        counter.update(d.split())
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(4)
+    try:
+        got = [
+            (r["token"], r["cnt"])
+            for r in heavy_hitters_exact(ds, k=k, m=m).take_all()
+        ]
+    except ValueError:
+        return  # refusing is always allowed; lying is not
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 10_000))
+def test_kll_rank_error_bound(ray_session, seed):
+    """KLL p50/p90/p99 rank error stays under 5% for k=200 on random
+    continuous data of random size and distribution."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import approx_quantiles_kll
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(50, 20_000)
+    vals = {
+        0: rng.standard_normal(n),
+        1: rng.lognormal(0, 1.5, n),
+        2: rng.uniform(-5, 5, n),
+    }[seed % 3]
+    t = pa.table({"g": pa.array(["x"] * n),
+                  "v": pa.array(vals, type=pa.float64())})
+    ds = rd.from_arrow(t).repartition(int(rng.randint(1, 8)))
+    row = approx_quantiles_kll(ds, "g", "v",
+                               qs=(0.5, 0.9, 0.99)).take_all()[0]
+    sv = np.sort(vals)
+    for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        r = np.searchsorted(sv, row[name], side="right")
+        assert abs(r / n - q) <= 0.05, (seed, q, row[name])
