@@ -74,6 +74,14 @@ def main(argv=None) -> int:
     ap.add_argument("--index-shards", type=int, default=8,
                     help="ingest job: index fan-out for a fresh epoch-0 "
                          "index")
+    ap.add_argument("--dedup", choices=["exact", "near"],
+                    default="exact",
+                    help="ingest job: exact content-hash dedup, or "
+                         "LSH near-dup at --threshold (flat text "
+                         "corpora only)")
+    ap.add_argument("--threshold", type=float, default=0.7,
+                    help="ingest job: estimated-Jaccard near-dup "
+                         "threshold for --dedup near")
     ap.add_argument("--capacity", type=int, default=2048,
                     help="export job: pack capacity in tokens")
     ap.add_argument("--n-shards", type=int, default=16,
@@ -137,6 +145,8 @@ def main(argv=None) -> int:
                 args.output,
                 index_path=args.index,
                 n_shards=args.index_shards,
+                mode=args.dedup,
+                threshold=args.threshold,
             )
             print(json.dumps(summary))
             return 0

@@ -731,25 +731,31 @@ def run_extract(
 
 
 def run_ingest(input_path: str, output_dir: str, *,
-               index_path: str | None = None, n_shards: int = 8) -> dict:
-    """Resumable incremental-ingest job: exact-dedup ``input_path``
-    against (and into) a persistent fingerprint index
-    (``state/dedup_index.py``), write the surviving rows, and snapshot
-    the grown index for the NEXT epoch — the daily-shards-vs-exported-
-    history workflow the batch dedup exchange can't serve.
+               index_path: str | None = None, n_shards: int = 8,
+               mode: str = "exact", threshold: float = 0.7) -> dict:
+    """Resumable incremental-ingest job: dedup ``input_path`` against
+    (and into) a persistent index (``state/dedup_index.py``), write the
+    surviving rows, and snapshot the grown index for the NEXT epoch —
+    the daily-shards-vs-exported-history workflow the batch dedup
+    exchange can't serve.  ``mode='exact'`` uses the content-hash
+    index; ``mode='near'`` uses the LSH signature index at the given
+    estimated-Jaccard ``threshold`` (flat text corpora only — the
+    interleaved shape has no single text to shingle).
 
-    Layout: ``data/`` (kept rows + n_dups), ``index/`` (the new sealed
+    Layout: ``data/`` (kept rows), ``index/`` (the new sealed
     snapshot), ``ingest.json`` (completion key, written last).  Crash
     anywhere → rerun with the same arguments: offers are idempotent,
     the filter pass is deterministic (global min doc_id wins), the
     data dir is rebuilt from scratch if its completion key is missing,
     and an already-saved snapshot is reused as-is (same determinism).
     ``index_path`` is the previous epoch's snapshot (omit for epoch 0);
-    its pinned shard fan-out wins over ``n_shards``.
+    its pinned shard fan-out and MinHash parameters win over the
+    arguments here.
     """
     import json
 
-    from .dedup_index import DedupIndex, ingest_dedup
+    from .dedup_index import (DedupIndex, NearDupIndex, ingest_dedup,
+                              ingest_neardup)
 
     done_key = os.path.join(output_dir, "ingest.json")
     if os.path.exists(done_key):
@@ -759,17 +765,30 @@ def run_ingest(input_path: str, output_dir: str, *,
     data_dir = os.path.join(output_dir, "data")
     index_dir = os.path.join(output_dir, "index")
 
-    index = (DedupIndex.load(index_path) if index_path
-             else DedupIndex(n_shards=n_shards))
-    # the index accepts BOTH corpus shapes (interleaved spans or flat
-    # text); the interleaved schema validator only applies to the
+    # the exact index accepts BOTH corpus shapes (interleaved spans or
+    # flat text); the interleaved schema validator only applies to the
     # former, so probe the schema first
     docs = read_documents(input_path, validate=False)
-    if "spans" in docs.schema().names:
+    names = docs.schema().names
+    if "spans" in names:
         docs = read_documents(input_path, validate=True)
-    keep_cols = [c for c in docs.schema().names]
+    keep_cols = [c for c in names]
     stats: dict = {}
-    kept = ingest_dedup(docs, index, keep_cols=keep_cols, stats=stats)
+    if mode == "near":
+        if "text" not in names:
+            raise ValueError(
+                "--dedup near needs a flat text corpus (a 'text' "
+                f"column); got columns {sorted(names)}"
+            )
+        index = (NearDupIndex.load(index_path) if index_path
+                 else NearDupIndex(n_shards=n_shards))
+        kept = ingest_neardup(docs, index, threshold=threshold,
+                              keep_cols=keep_cols, stats=stats)
+    else:
+        index = (DedupIndex.load(index_path) if index_path
+                 else DedupIndex(n_shards=n_shards))
+        kept = ingest_dedup(docs, index, keep_cols=keep_cols,
+                            stats=stats)
 
     tmp = data_dir + "_tmp"
     for d in (tmp, data_dir):
@@ -796,6 +815,7 @@ def run_ingest(input_path: str, output_dir: str, *,
               if parts else 0)
     summary = {
         "job": "ingest",
+        "mode": mode,
         "input_docs": int(n_input),
         "kept": int(n_kept),
         "dropped": int(n_input - n_kept),

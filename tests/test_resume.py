@@ -520,8 +520,8 @@ def test_ingest_all_duplicates_epoch_completes(ray_session, tmp_path):
     pq.write_table(t1, src1 / "part-0.parquet")
     s1 = run_ingest(str(src1), str(tmp_path / "e1"),
                     index_path=s0["index_dir"])
-    assert s1 == {"job": "ingest", "input_docs": 20, "kept": 0,
-                  "dropped": 20, "index_entries": 20,
+    assert s1 == {"job": "ingest", "mode": "exact", "input_docs": 20,
+                  "kept": 0, "dropped": 20, "index_entries": 20,
                   "index_dir": s1["index_dir"]}
     assert os.path.isdir(os.path.join(str(tmp_path / "e1"), "data"))
     # the completion key makes the rerun a no-op even with 0 rows
@@ -740,3 +740,52 @@ def test_index_snapshot_kinds_not_interchangeable(ray_session, tmp_path):
     idx.save(snap)
     with pytest.raises(ValueError, match="not 'neardup'"):
         NearDupIndex.load(snap)
+
+
+def test_ingest_job_near_mode(ray_session, tmp_path):
+    """CLI --job ingest --dedup near: mutated copies of history drop
+    across a snapshot; the interleaved shape is refused clearly."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ollama_ocr_ray.state.runner import run_ingest
+
+    rng = np.random.RandomState(53)
+    old = [_word_doc(rng) for _ in range(10)]
+    e0 = tmp_path / "in0"
+    e0.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(10), type=pa.int64()),
+                  "text": pa.array(old)}),
+        e0 / "part-0.parquet")
+    s0 = run_ingest(str(e0), str(tmp_path / "o0"), mode="near",
+                    n_shards=2)
+    assert s0["mode"] == "near" and s0["kept"] == 10
+
+    texts1 = []
+    for i in range(4):
+        w = old[i].split()
+        w[2] = "EDIT"
+        texts1.append(" ".join(w))
+    texts1 += [_word_doc(rng) for _ in range(3)]
+    e1 = tmp_path / "in1"
+    e1.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(100, 107), type=pa.int64()),
+                  "text": pa.array(texts1)}),
+        e1 / "part-0.parquet")
+    s1 = run_ingest(str(e1), str(tmp_path / "o1"), mode="near",
+                    index_path=s0["index_dir"])
+    assert s1["kept"] == 3 and s1["dropped"] == 4
+
+    # the interleaved shape has no text column -> clear refusal
+    from ollama_ocr_ray import synth
+
+    e2 = tmp_path / "in2"
+    e2.mkdir()
+    pq.write_table(synth.gen_table(5, seed=1), e2 / "part-0.parquet")
+    with pytest.raises(ValueError, match="flat text corpus"):
+        run_ingest(str(e2), str(tmp_path / "o2"), mode="near")
