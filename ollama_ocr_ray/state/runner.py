@@ -776,10 +776,30 @@ def run_ingest(input_path: str, output_dir: str, *,
     stats: dict = {}
     if mode == "near":
         if "text" not in names:
-            raise ValueError(
-                "--dedup near needs a flat text corpus (a 'text' "
-                f"column); got columns {sorted(names)}"
-            )
+            if "spans" not in names:
+                raise ValueError(
+                    "--dedup near needs a 'text' or 'spans' column; "
+                    f"got columns {sorted(names)}"
+                )
+            # interleaved corpus: derive a canonical text rendering to
+            # shingle (text spans in offset order, media refs inlined
+            # as tokens so image-only edits still count as changes)
+            import pyarrow as pa
+
+            def render(batch: pa.Table) -> pa.Table:
+                rows = batch.column("spans").to_pylist()
+                texts = []
+                for spans in rows:
+                    parts = []
+                    for s in sorted(spans or [],
+                                    key=lambda x: x.get("offset") or 0):
+                        parts.append(s.get("text") or s.get("media_ref")
+                                     or "")
+                    texts.append("\n".join(parts))
+                return batch.append_column(
+                    "text", pa.array(texts, type=pa.string()))
+
+            docs = docs.map_batches(render, batch_format="pyarrow")
         index = (NearDupIndex.load(index_path) if index_path
                  else NearDupIndex(n_shards=n_shards))
         kept = ingest_neardup(docs, index, threshold=threshold,

@@ -781,11 +781,24 @@ def test_ingest_job_near_mode(ray_session, tmp_path):
                     index_path=s0["index_dir"])
     assert s1["kept"] == 3 and s1["dropped"] == 4
 
-    # the interleaved shape has no text column -> clear refusal
+    # the interleaved shape shingles a canonical span rendering: an
+    # exact re-ingest of the same spans under fresh ids drops everything
     from ollama_ocr_ray import synth
 
+    t2 = synth.gen_table(6, seed=1)
     e2 = tmp_path / "in2"
     e2.mkdir()
-    pq.write_table(synth.gen_table(5, seed=1), e2 / "part-0.parquet")
-    with pytest.raises(ValueError, match="flat text corpus"):
-        run_ingest(str(e2), str(tmp_path / "o2"), mode="near")
+    pq.write_table(t2, e2 / "part-0.parquet")
+    s2 = run_ingest(str(e2), str(tmp_path / "o2"), mode="near",
+                    n_shards=2)
+    assert s2["kept"] == 6
+    import pyarrow as pa
+
+    t3 = pa.table({"doc_id": pa.array([f"re-{i}" for i in range(6)]),
+                   "spans": t2.column("spans")})
+    e3 = tmp_path / "in3"
+    e3.mkdir()
+    pq.write_table(t3, e3 / "part-0.parquet")
+    s3 = run_ingest(str(e3), str(tmp_path / "o3"), mode="near",
+                    index_path=s2["index_dir"])
+    assert s3["kept"] == 0 and s3["dropped"] == 6
