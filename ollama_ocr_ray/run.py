@@ -77,8 +77,9 @@ def main(argv=None) -> int:
     ap.add_argument("--dedup", choices=["exact", "near"],
                     default="exact",
                     help="ingest job: exact content-hash dedup, or "
-                         "LSH near-dup at --threshold (flat text "
-                         "corpora only)")
+                         "LSH near-dup at --threshold (text corpora "
+                         "directly; interleaved corpora through the "
+                         "canonical span rendering)")
     ap.add_argument("--threshold", type=float, default=0.7,
                     help="ingest job: estimated-Jaccard near-dup "
                          "threshold for --dedup near")
@@ -129,7 +130,9 @@ def main(argv=None) -> int:
 
         DataContext.get_current().enable_progress_bars = False
         index_flags = [("--index", args.index, None),
-                       ("--index-shards", args.index_shards, 8)]
+                       ("--index-shards", args.index_shards, 8),
+                       ("--dedup", args.dedup, "exact"),
+                       ("--threshold", args.threshold, 0.7)]
         if args.job == "ingest":
             _warn_ignored("ingest",
                           [("--model", args.model, None),
@@ -137,7 +140,9 @@ def main(argv=None) -> int:
                            ("--wave", args.wave, 4),
                            ("--shuffle-seed", args.shuffle_seed, None),
                            ("--partition-by", args.partition_by, None),
-                           ("--manifest", args.manifest, None)])
+                           ("--manifest", args.manifest, None),
+                           ("--max-partitions", args.max_partitions,
+                            None)])
             from .state.runner import run_ingest
 
             summary = run_ingest(

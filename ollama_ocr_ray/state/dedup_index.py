@@ -338,15 +338,33 @@ def _decode_id(s: str, kind: str):
     return int(s) if kind == "i" else s
 
 
+_SIG_FORMAT = "u8fold"  # stamped into near-dup snapshots; bump when
+# _sig_compact (or render_spans_text) changes — old signatures are
+# incomparable with new ones
+
+
+def render_spans_text(spans) -> str:
+    """Canonical text rendering of one interleaved document for
+    near-dup shingling: text spans in offset order, media refs inlined
+    as tokens (an image-only edit still counts as a change).  Part of
+    the signature identity — snapshots bake it in, so changing it
+    requires a ``_SIG_FORMAT`` bump."""
+    parts = []
+    for s in sorted(spans or [], key=lambda x: x.get("offset") or 0):
+        parts.append(s.get("text") or s.get("media_ref") or "")
+    return "\n".join(parts)
+
+
 def _sig_compact(sigs: np.ndarray) -> np.ndarray:
     """(n, num_perm) uint64 MinHash values → (n, num_perm) uint8: the
     verify stage only tests per-permutation EQUALITY, so one mixed
     byte per perm suffices.  Collision bias: P(equal bytes | unequal
     values) = 1/256, inflating the Jaccard estimate by (1-J)/256 —
     an order of magnitude under the 64-perm estimator noise (~0.06),
-    and it cuts index memory and snapshot size 8x (measured 6.7 GB →
-    ~0.9 GB per 1M docs at 16 bands).  The fold is part of the
-    snapshot format: offers and probes must use the same function."""
+    and it cuts index memory and snapshot size ~6x (measured 6.7 GB →
+    1.1 GB per 1M docs at 16 bands, BASELINE.md r4).  The fold is part
+    of the snapshot format (stamped as ``sig_format`` in index.json):
+    offers and probes must use the same function."""
     x = sigs.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)
     return (x >> np.uint64(56)).astype(np.uint8)
 
@@ -517,7 +535,7 @@ class NearDupIndex:
         return _atomic_snapshot_save(
             path,
             {"n_shards": self.n_shards, "params": self.params,
-             "kind": "neardup"},
+             "kind": "neardup", "sig_format": _SIG_FORMAT},
             dump,
         )
 
@@ -526,6 +544,14 @@ class NearDupIndex:
         import os
 
         meta = _load_snapshot_meta(path, "neardup")
+        fmt = meta.get("sig_format")
+        if fmt != _SIG_FORMAT:
+            raise ValueError(
+                f"NearDupIndex.load: {path} stores signatures in "
+                f"format {fmt!r}, this build expects {_SIG_FORMAT!r} — "
+                "signatures across formats are incomparable; re-ingest "
+                "history to migrate"
+            )
         index = cls(n_shards=meta["n_shards"], **meta["params"])
         ray.get([
             s.load_sealed.remote(os.path.join(path, f"shard-{i}.parquet"))

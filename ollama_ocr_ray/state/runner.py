@@ -739,8 +739,9 @@ def run_ingest(input_path: str, output_dir: str, *,
     the daily-shards-vs-exported-history workflow the batch dedup
     exchange can't serve.  ``mode='exact'`` uses the content-hash
     index; ``mode='near'`` uses the LSH signature index at the given
-    estimated-Jaccard ``threshold`` (flat text corpora only — the
-    interleaved shape has no single text to shingle).
+    estimated-Jaccard ``threshold`` — both accept flat text corpora
+    AND the interleaved shape (near mode shingles the canonical
+    ``render_spans_text`` rendering).
 
     Layout: ``data/`` (kept rows), ``index/`` (the new sealed
     snapshot), ``ingest.json`` (completion key, written last).  Crash
@@ -754,8 +755,13 @@ def run_ingest(input_path: str, output_dir: str, *,
     """
     import json
 
-    from .dedup_index import (DedupIndex, NearDupIndex, ingest_dedup,
-                              ingest_neardup)
+    from .dedup_index import (DedupIndex, NearDupIndex,
+                              _load_snapshot_meta, ingest_dedup,
+                              ingest_neardup, render_spans_text)
+
+    if mode not in ("exact", "near"):
+        raise ValueError(f"run_ingest: unknown mode {mode!r} "
+                         "(expected 'exact' or 'near')")
 
     done_key = os.path.join(output_dir, "ingest.json")
     if os.path.exists(done_key):
@@ -781,21 +787,14 @@ def run_ingest(input_path: str, output_dir: str, *,
                     "--dedup near needs a 'text' or 'spans' column; "
                     f"got columns {sorted(names)}"
                 )
-            # interleaved corpus: derive a canonical text rendering to
-            # shingle (text spans in offset order, media refs inlined
-            # as tokens so image-only edits still count as changes)
+            # interleaved corpus: shingle the canonical rendering
+            # (render_spans_text is snapshot-format-bearing — it lives
+            # in dedup_index beside the signature fold)
             import pyarrow as pa
 
             def render(batch: pa.Table) -> pa.Table:
-                rows = batch.column("spans").to_pylist()
-                texts = []
-                for spans in rows:
-                    parts = []
-                    for s in sorted(spans or [],
-                                    key=lambda x: x.get("offset") or 0):
-                        parts.append(s.get("text") or s.get("media_ref")
-                                     or "")
-                    texts.append("\n".join(parts))
+                texts = [render_spans_text(spans)
+                         for spans in batch.column("spans").to_pylist()]
                 return batch.append_column(
                     "text", pa.array(texts, type=pa.string()))
 
@@ -822,9 +821,12 @@ def run_ingest(input_path: str, output_dir: str, *,
 
     if os.path.isdir(index_dir):
         # crash landed between snapshot and completion key: the saved
-        # snapshot is identical by determinism — reuse it
-        with open(os.path.join(index_dir, "index.json")) as f:
-            n_entries = json.load(f)["entries"]
+        # snapshot is identical by determinism — reuse it, but only if
+        # it is the SAME dedup kind (a crashed near run rerun as exact
+        # would otherwise pair exact data with a near-dup index)
+        meta = _load_snapshot_meta(
+            index_dir, "neardup" if mode == "near" else "exact")
+        n_entries = meta["entries"]
     else:
         n_entries = index.save(index_dir)
 

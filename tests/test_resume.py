@@ -744,7 +744,8 @@ def test_index_snapshot_kinds_not_interchangeable(ray_session, tmp_path):
 
 def test_ingest_job_near_mode(ray_session, tmp_path):
     """CLI --job ingest --dedup near: mutated copies of history drop
-    across a snapshot; the interleaved shape is refused clearly."""
+    across a snapshot; interleaved corpora shingle the canonical span
+    rendering (an exact span re-ingest under fresh ids drops)."""
     import json
 
     import numpy as np
@@ -802,3 +803,37 @@ def test_ingest_job_near_mode(ray_session, tmp_path):
     s3 = run_ingest(str(e3), str(tmp_path / "o3"), mode="near",
                     index_path=s2["index_dir"])
     assert s3["kept"] == 0 and s3["dropped"] == 6
+
+
+def test_neardup_snapshot_sig_format_checked(ray_session, tmp_path):
+    """A snapshot from a different signature format (or a bogus mode
+    string) fails loudly, not deep in a map task."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import (
+        NearDupIndex,
+        ingest_neardup,
+    )
+    from ollama_ocr_ray.state.runner import run_ingest
+
+    idx = NearDupIndex(n_shards=2)
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array(["hello world sample text"])})
+    ingest_neardup(rd.from_arrow(t), idx)
+    snap = str(tmp_path / "s")
+    idx.save(snap)
+    meta_path = os.path.join(snap, "index.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["sig_format"] = "u64raw"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="sig|format"):
+        NearDupIndex.load(snap)
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        run_ingest("/tmp/nonexistent", str(tmp_path / "o"),
+                   mode="NEAR")
