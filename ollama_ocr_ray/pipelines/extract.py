@@ -76,13 +76,29 @@ def _pool_sizing(ocr_burn: int, ocr_latency_ms: float):
         # each hides sleep best (120k docs / 32 CPUs: 110 actors beat
         # 64@0.5 by ~1.4x on both plans).  Footprint tops out at 7/8 of
         # the cluster, so the pool MAX (not just the min) leaves CPU
-        # slack for read/shuffle tasks.
-        n_actors = (7 * cpus) // 2
+        # slack for read/shuffle tasks.  On tiny clusters the 7/8 rule
+        # rounds to LESS than one whole spare CPU (4 CPUs -> 3.5 used,
+        # 0.5 free) and the read stage starves outright (measured hang
+        # at num_cpus=4, round 4): cap the footprint at cpus-1 so at
+        # least one full CPU always serves the stream.
+        n_actors = min((7 * cpus) // 2, 4 * (cpus - 1))
         return (max(2, n_actors - 2), max(2, n_actors)), 0.25, 128
     # compute-bound: 1 actor per CPU, max capped below the cluster so
     # the stream never starves (an exact-CPUs pool stalls, BASELINE.md)
     n_actors = max(2, cpus - 1)
     return (max(2, n_actors - 1), n_actors), 1, 64
+
+
+def _clamp_pool(concurrency, num_cpus):
+    """Clamp an EXPLICIT pool request to the cluster: a pool whose CPU
+    footprint covers every core starves the read stage and the stream
+    deadlocks (measured: the test-scale (4, 8)x1-CPU pool on a 4-CPU
+    session hangs outright).  Leave one full CPU free."""
+    budget = max(1, int((_cluster_cpus() - 1) / num_cpus))
+    if isinstance(concurrency, tuple):
+        lo, hi = concurrency
+        return (max(1, min(lo, budget)), max(1, min(hi, budget)))
+    return max(1, min(concurrency, budget))
 
 
 class SpanExtractor:
@@ -137,6 +153,7 @@ def extract_pipeline(
         ocr_concurrency = auto_conc
     if ocr_num_cpus is None:
         ocr_num_cpus = auto_cpus
+    ocr_concurrency = _clamp_pool(ocr_concurrency, ocr_num_cpus)
     # The streaming executor reserves ~50% of CPUs per operator; with
     # three exchange operators downstream that halves the OCR pool's
     # effective task budget (measured: 64 of 110 actors busy).  The
@@ -331,6 +348,7 @@ def fused_pipeline(docs, *, ocr_burn: int = 0, ocr_latency_ms: float = 0.0,
         concurrency = auto_conc
     if num_cpus is None:
         num_cpus = auto_cpus
+    concurrency = _clamp_pool(concurrency, num_cpus)
     if batch_size is None:
         batch_size = auto_bs
     return docs.map_batches(
