@@ -393,3 +393,29 @@ def test_kll_rank_error_bound(ray_session, seed):
     for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
         r = np.searchsorted(sv, row[name], side="right")
         assert abs(r / n - q) <= 0.05, (seed, q, row[name])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 9))
+def test_index_ingest_equals_batch_dedup(ray_session, seed, n_parts):
+    """The actor-index two-phase protocol is arrival-order-free: for
+    any random dup pattern and partitioning it produces exactly the
+    batch exchange plan's winners and multiplicities."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.dedup import exact_dedup
+    from ollama_ocr_ray.state.dedup_index import DedupIndex, ingest_dedup
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(1, 120)
+    n_distinct = rng.randint(1, n + 1)
+    texts = [f"content {rng.randint(0, n_distinct)}" for _ in range(n)]
+    ids = rng.permutation(10 * n)[:n].astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(n_parts)
+
+    want = {(r["doc_id"], r["n_dups"])
+            for r in exact_dedup(ds).take_all()}
+    got = {(r["doc_id"], r["n_dups"])
+           for r in ingest_dedup(ds, DedupIndex(n_shards=3)).take_all()}
+    assert got == want
