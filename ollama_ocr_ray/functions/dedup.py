@@ -205,7 +205,12 @@ class MinHashLSH:
     def _shingle_list(self, text: str) -> list[str]:
         return word_kgrams(text.split(), self.shingle_k)
 
-    _SHINGLE_CHUNK = 2_000_000  # caps the (num_perm x chunk) work matrix
+    _SHINGLE_CHUNK = 32_768  # caps the (num_perm x chunk) work matrix.
+    # Sized for cache residency, not just heap: at 2M the (64 x 2M)
+    # uint64 matrix is ~1 GB of DRAM traffic per pass and measured
+    # 13x SLOWER per doc than cache-sized chunks even single-process
+    # (0.82 -> 0.06 ms/doc, BASELINE.md r4); signatures are
+    # bit-identical across chunk sizes (reduceat per doc segment)
 
     def _hash_shingles_batch(self, texts: list[str]):
         """(hashes, lengths): one uint64 hash per shingle of every text.

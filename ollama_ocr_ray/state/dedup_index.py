@@ -322,10 +322,13 @@ def ingest_dedup(docs, index: DedupIndex, *, keep_cols=("doc_id",),
 # with the usual S-curve probability; missed-band pairs are the
 # documented recall cost, measured by the gate query, never silent.
 #
-# Memory trade (documented, deliberate): each entry stores its
-# signature in EVERY band bucket (bands x sig_bytes per doc) so a
-# probe is one hop; at 100 TB one would store signatures once in an
-# id-routed shard and pay a second lookup hop instead.
+# Storage layout (the 100-TB design, measured in BASELINE.md r4): each
+# document's signature is stored ONCE, on the shard ``_id_route``
+# picks; band buckets hold (doc_id, sealed) entries only.  A probe
+# pays a second batched hop (``get_sigs`` for the few verify-worthy
+# candidates) instead of every band entry carrying bands x sig_bytes
+# duplication — cutting snapshot size, shard memory, and the candidate
+# response payloads that starved producer CPUs in the one-hop design.
 
 
 def _encode_id(i):
@@ -380,10 +383,48 @@ def _id_lt(a, b) -> bool:
     return a < b
 
 
+def _enc_id_str(i) -> str:
+    """Canonical one-string id encoding (``kind:value``) used for the
+    shard-side numpy arrays and snapshots: mixed int/str epochs stay
+    homogeneous, and the kind prefix keeps int 5 and str "5" distinct.
+    Only EQUALITY is ever tested on the encoded form — ordering
+    decisions decode first (``_id_lt`` is kind-aware numeric/lexical,
+    which the encoded string is not)."""
+    s, k = _encode_id(i)
+    return f"{k}:{s}"
+
+
+def _dec_id_str(e: str):
+    k, s = e.split(":", 1)
+    return _decode_id(s, k)
+
+
+def _id_route_enc(enc: str, n_shards: int) -> int:
+    """Deterministic home shard of a doc id's single signature copy —
+    blake2b of the encoded form (process-independent, unlike builtin
+    str hash)."""
+    h = hashlib.blake2b(enc.encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") % n_shards
+
+
 @ray.remote(num_cpus=0)
 class SigShard:
-    """One bucket-space slice: ``bucket -> [(doc_id, sig_bytes,
-    sealed)]`` plus the same per-batch idempotency keys as IndexShard.
+    """One slice of TWO routing spaces served by the same actor set:
+    band space (``bucket % n_shards`` -> (doc_id, sealed) entries) and
+    signature space (``_id_route_enc(doc_id)`` -> the doc's single
+    signature copy).  Probes resolve candidate IDS from buckets, then
+    batch-fetch only the verify-worthy signatures via ``get_sigs`` —
+    the two-hop, single-copy layout (see the section comment above).
+
+    The data plane is ARRAY-backed and loop-free: offers append whole
+    numpy arrays (O(1) Python work per call), the first probe after
+    new offers triggers one vectorized compaction (concatenate +
+    argsort), and probes/fetches answer via ``searchsorted`` slices.
+    The phase protocol makes this cheap: all offers land before any
+    probe (the ingest barrier), so compaction runs once per epoch.
+    The dict-of-tuples design this replaces went GC-bound at ~60M
+    entries (per-entry Python objects; measured in BASELINE.md r4).
+    Ids live in the encoded ``kind:value`` string form throughout.
 
     ``mark`` records the ids the keep phase decided to EXPORT; ``seal``
     then keeps only marked open entries — a dropped document's
@@ -391,70 +432,165 @@ class SigShard:
     whose only near-dup was never exported (transitive chain-drops)."""
 
     def __init__(self):
-        self._bands: dict = {}
         self._seen_keys: set = set()
-        self._marked: set = set()
+        self._marked: list = []            # U-str array chunks
+        # band space: bucket-sorted columns + pending offer chunks
+        self._bk = np.empty(0, dtype=np.int64)
+        self._bi = np.empty(0, dtype="U1")
+        self._bsealed = np.empty(0, dtype=bool)
+        self._b_chunks: list = []
+        # sig space: id-sorted columns + pending offer chunks
+        self._sk = np.empty(0, dtype="U1")
+        self._sv = np.empty((0, 0), dtype=np.uint8)
+        self._ssealed = np.empty(0, dtype=bool)
+        self._s_chunks: list = []
 
-    def offer(self, key, buckets: list, ids: list, sigs: list) -> int:
+    def offer(self, key, buckets, band_ids, sig_ids, sigs) -> int:
+        """One producer batch's slice for this shard: band entries
+        (``buckets``/``band_ids`` int64/U-str arrays, routed here by
+        bucket) plus home signatures (``sig_ids``/``sigs`` U-str /
+        (k, sig_bytes) uint8 arrays, routed here by id).  ``key`` is
+        the batch idempotency token — it guards both tables, and each
+        shard skips the whole replayed slice atomically."""
         if key in self._seen_keys:
             return 0
         self._seen_keys.add(key)
-        for b, i, s in zip(buckets, ids, sigs):
-            self._bands.setdefault(b, []).append((i, s, False))
-        return len(self._bands)
+        if len(buckets):
+            self._b_chunks.append((np.asarray(buckets, dtype=np.int64),
+                                   np.asarray(band_ids)))
+        if len(sig_ids):
+            self._s_chunks.append((np.asarray(sig_ids),
+                                   np.asarray(sigs, dtype=np.uint8)))
+        return len(self._b_chunks)
 
-    def candidates(self, buckets: list) -> list:
-        return [self._bands.get(b, []) for b in buckets]
+    def _compact(self):
+        if self._b_chunks:
+            bk = np.concatenate([self._bk]
+                                + [c[0] for c in self._b_chunks])
+            bi = np.concatenate([self._bi]
+                                + [c[1] for c in self._b_chunks])
+            bs = np.concatenate(
+                [self._bsealed,
+                 np.zeros(len(bk) - len(self._bsealed), dtype=bool)])
+            order = np.argsort(bk, kind="stable")
+            self._bk, self._bi, self._bsealed = (
+                bk[order], bi[order], bs[order])
+            self._b_chunks = []
+        if self._s_chunks:
+            sk = np.concatenate([self._sk]
+                                + [c[0] for c in self._s_chunks])
+            mats = ([self._sv] if self._sv.shape[0] else []) + \
+                [c[1] for c in self._s_chunks]
+            sv = np.concatenate(mats)
+            ss = np.concatenate(
+                [self._ssealed,
+                 np.zeros(len(sk) - len(self._ssealed), dtype=bool)])
+            order = np.argsort(sk, kind="stable")
+            self._sk, self._sv, self._ssealed = (
+                sk[order], sv[order], ss[order])
+            self._s_chunks = []
 
-    def mark(self, ids: list) -> None:
-        self._marked.update(ids)
+    def candidates(self, probes):
+        """(counts, ids, sealed) for the probed buckets: ``counts[i]``
+        entries of probe i, concatenated in probe order — the caller
+        splits by counts.  One searchsorted pair over the sorted
+        bucket column; no per-entry Python."""
+        self._compact()
+        probes = np.asarray(probes, dtype=np.int64)
+        lo = np.searchsorted(self._bk, probes, side="left")
+        hi = np.searchsorted(self._bk, probes, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return counts, np.empty(0, dtype="U1"), np.empty(0, bool)
+        starts = np.cumsum(counts) - counts
+        idx = np.repeat(lo, counts) + (np.arange(total)
+                                       - np.repeat(starts, counts))
+        return counts, self._bi[idx], self._bsealed[idx]
+
+    def get_sigs(self, ids):
+        """(found, sigs): boolean mask over ``ids`` plus the signature
+        matrix rows for the found ones, in input order."""
+        self._compact()
+        ids = np.asarray(ids)
+        if not len(self._sk):
+            return np.zeros(len(ids), dtype=bool), \
+                np.empty((0, 0), dtype=np.uint8)
+        pos = np.searchsorted(self._sk, ids)
+        pos_c = np.minimum(pos, len(self._sk) - 1)
+        found = self._sk[pos_c] == ids
+        return found, self._sv[pos_c[found]]
+
+    def mark(self, ids) -> None:
+        if len(ids):
+            self._marked.append(np.asarray(ids))
 
     def seal(self) -> int:
-        marked = self._marked
-        for b in list(self._bands):
-            kept = [(i, s, True) for i, s, sealed in self._bands[b]
-                    if sealed or i in marked]
-            if kept:
-                self._bands[b] = kept
-            else:
-                del self._bands[b]
+        self._compact()
+        marked = (np.unique(np.concatenate(self._marked))
+                  if self._marked else np.empty(0, dtype="U1"))
+        keep_b = self._bsealed | np.isin(self._bi, marked)
+        self._bk = self._bk[keep_b]
+        self._bi = self._bi[keep_b]
+        self._bsealed = np.ones(len(self._bk), dtype=bool)
+        keep_s = self._ssealed | np.isin(self._sk, marked)
+        self._sk = self._sk[keep_s]
+        self._sv = self._sv[keep_s] if self._sv.shape[0] else self._sv
+        self._ssealed = np.ones(len(self._sk), dtype=bool)
         self._seen_keys = set()
-        self._marked = set()
-        return sum(len(v) for v in self._bands.values())
+        self._marked = []
+        return int(len(self._bk))
 
-    def dump_sealed(self, path: str) -> int:
+    def dump_sealed(self, bands_path: str, sigs_path: str) -> int:
         import pyarrow.parquet as pq
 
-        rows = [
-            (b, e[0], e[1])
-            for b, lst in self._bands.items()
-            for e in lst if e[2]
-        ]
-        enc = [_encode_id(r[1]) for r in rows]
-        t = pa.table(
-            {
-                "bucket": pa.array([r[0] for r in rows], type=pa.int64()),
-                "doc_id": pa.array([e[0] for e in enc], type=pa.string()),
-                "id_kind": pa.array([e[1] for e in enc],
-                                    type=pa.string()),
-                "sig": pa.array([r[2] for r in rows], type=pa.binary()),
-            }
+        self._compact()
+        bm = self._bsealed
+        pq.write_table(
+            pa.table(
+                {
+                    "bucket": pa.array(self._bk[bm]),
+                    "doc_id": pa.array(self._bi[bm]),
+                }
+            ),
+            bands_path,
         )
-        pq.write_table(t, path)
-        return t.num_rows
+        sm = self._ssealed
+        sv = self._sv[sm] if self._sv.shape[0] else \
+            np.empty((0, 0), dtype=np.uint8)
+        width = int(sv.shape[1])
+        sig_arr = (
+            pa.Array.from_buffers(
+                pa.binary(width), len(sv),
+                [None, pa.py_buffer(np.ascontiguousarray(sv).tobytes())])
+            if width else pa.array([], type=pa.binary())
+        )
+        pq.write_table(
+            pa.table({"doc_id": pa.array(self._sk[sm]), "sig": sig_arr}),
+            sigs_path,
+        )
+        return int(bm.sum())
 
-    def load_sealed(self, path: str) -> int:
+    def load_sealed(self, bands_path: str, sigs_path: str) -> int:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path)
-        self._bands = {}
-        for b, i, k, s in zip(t.column("bucket").to_pylist(),
-                              t.column("doc_id").to_pylist(),
-                              t.column("id_kind").to_pylist(),
-                              t.column("sig").to_pylist()):
-            self._bands.setdefault(b, []).append(
-                (_decode_id(i, k), s, True)
-            )
+        t = pq.read_table(bands_path)
+        # dump wrote bucket-sorted sealed rows, so this IS the
+        # compacted state
+        self._bk = t.column("bucket").to_numpy(zero_copy_only=False)
+        self._bi = np.asarray(t.column("doc_id").to_pylist(), dtype="U")\
+            if t.num_rows else np.empty(0, dtype="U1")
+        self._bsealed = np.ones(t.num_rows, dtype=bool)
+        ts = pq.read_table(sigs_path)
+        if ts.num_rows:
+            self._sk = np.asarray(ts.column("doc_id").to_pylist(),
+                                  dtype="U")
+            col = ts.column("sig").combine_chunks()
+            sig_bytes = col.cast(pa.binary()).to_pylist()
+            self._sv = np.frombuffer(
+                b"".join(sig_bytes), dtype=np.uint8
+            ).reshape(ts.num_rows, -1).copy()
+            self._ssealed = np.ones(ts.num_rows, dtype=bool)
         return t.num_rows
 
 
@@ -528,14 +664,16 @@ class NearDupIndex:
         def dump(tmp):
             return sum(ray.get([
                 s.dump_sealed.remote(
-                    os.path.join(tmp, f"shard-{i}.parquet"))
+                    os.path.join(tmp, f"shard-{i}.parquet"),
+                    os.path.join(tmp, f"sigs-{i}.parquet"))
                 for i, s in enumerate(self.shards)
             ]))
 
         return _atomic_snapshot_save(
             path,
             {"n_shards": self.n_shards, "params": self.params,
-             "kind": "neardup", "sig_format": _SIG_FORMAT},
+             "kind": "neardup", "sig_format": _SIG_FORMAT,
+             "layout": "sigtab"},
             dump,
         )
 
@@ -552,12 +690,27 @@ class NearDupIndex:
                 "signatures across formats are incomparable; re-ingest "
                 "history to migrate"
             )
+        layout = meta.get("layout")
+        if layout != "sigtab":
+            raise ValueError(
+                f"NearDupIndex.load: {path} uses snapshot layout "
+                f"{layout!r}; this build reads the single-copy "
+                "'sigtab' layout (bands + sigs files per shard) — "
+                "re-ingest history to migrate"
+            )
         index = cls(n_shards=meta["n_shards"], **meta["params"])
         ray.get([
-            s.load_sealed.remote(os.path.join(path, f"shard-{i}.parquet"))
+            s.load_sealed.remote(
+                os.path.join(path, f"shard-{i}.parquet"),
+                os.path.join(path, f"sigs-{i}.parquet"))
             for i, s in enumerate(index.shards)
         ])
         return index
+
+
+_DROPLIST_DRIVER_MAX = 2_000_000  # dropped ids fetched to the driver
+# for the broadcast apply path; above this the apply switches to the
+# co-partitioned anti-join so driver memory stays bounded
 
 
 def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
@@ -569,117 +722,226 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
     (min id wins; no arrival-order races).  Requires a ``text``
     column and unique doc_ids across epochs.
 
-    THREE phases, and the result is returned MATERIALIZED: offer
-    (register this epoch's signatures, barrier), keep (probe + verify
-    + filter, each batch also ``mark``s its survivors on the shards),
-    and the implicit finalize — ``seal()``/``save()`` prune every
-    unmarked entry, because a dropped document's signature must not
-    suppress future documents (it was never exported).  Returning the
-    keep pass lazily would let a caller seal before the marks landed,
-    silently emptying the epoch's contribution — hence the internal
-    materialize.
+    THREE passes, and the result is returned MATERIALIZED:
+
+    1. offer — shingle + MinHash each batch ONCE; register band
+       entries (bucket-routed) and single-copy signatures (id-routed)
+       on the shards; EMIT (doc_id, sig, buckets) rows.  The
+       materialized barrier doubles as the signature cache, so no
+       later pass re-shingles text (the old two-pass design recomputed
+       every signature in its keep pass — measured ~40%% of the
+       1M-doc ingest wall, BASELINE.md r4).
+    2. decide — over the signature rows (no text): probe buckets for
+       candidate IDS, batch-fetch the few verify-worthy signatures by
+       id (the second hop of the single-copy layout), verify, ``mark``
+       survivors, and emit the DROPPED ids.  Materializing this pass
+       is the mark barrier: ``seal()``/``save()`` prune every unmarked
+       entry, because a dropped document's signature must not suppress
+       future documents (it was never exported).
+    3. apply — filter ``docs`` by the droplist: broadcast ``pc.is_in``
+       when the epoch's dup count is driver-small, else the
+       co-partitioned ``relational.anti_join``.  The droplist is
+       O(dups in this epoch), never O(corpus).
 
     The candidate-verify loop is per document over its (few) bucket
     hits, with the signature comparison itself vectorized across all
     of a document's candidates."""
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import band_buckets
+
     shards, n = index.shards, index.n_shards
     hasher = index.make_hasher()
     bands = index.params["bands"]
 
-    def _sigs_buckets(batch: pa.Table):
-        from ..functions.dedup import band_buckets
-
-        texts = batch.column("text").to_pylist()
-        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        ids = [i.item() if hasattr(i, "item") else i for i in ids_np]
-        sigs = hasher.signature_batch(texts)
-        buckets = band_buckets(sigs, bands) if len(texts) else \
-            np.empty((0, bands), dtype=np.int64)
-        return ids, sigs, buckets
-
     def offer(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
+        id_col = batch.column("doc_id")
         if batch.num_rows == 0:
-            return pa.table({"n": pa.array([0], type=pa.int64())})
-        ids, sigs, buckets = _sigs_buckets(batch)
-        compact = _sig_compact(sigs)
-        sig_bytes = [s.tobytes() for s in compact]  # once per doc,
-        # not once per (doc, band); uint8-folded (see _sig_compact)
+            return pa.schema(
+                [("doc_id", id_col.type), ("sig", pa.binary()),
+                 ("buckets", pa.list_(pa.int64(), bands))]
+            ).empty_table()
+        texts = batch.column("text").to_pylist()
+        ids_np = id_col.to_numpy(zero_copy_only=False)
+        ids = [i.item() if hasattr(i, "item") else i for i in ids_np]
+        sigs = hasher.signature_batch(texts)
+        buckets = band_buckets(sigs, bands)
+        compact = _sig_compact(sigs)  # (n, num_perm) uint8 — see
+        # _sig_compact; shipped as matrix slices, stored once per doc
+        enc = np.array([_enc_id_str(i) for i in ids])
         key = min(ids)
         flat_b = buckets.reshape(-1)
         flat_i = np.repeat(np.arange(len(ids)), bands)
-        shard_of = flat_b % n
+        band_shard = flat_b % n
+        sig_shard = np.array([_id_route_enc(e, n) for e in enc],
+                             dtype=np.int64)
         refs = []
-        for s in np.unique(shard_of):
-            m = shard_of == s
-            di = flat_i[m]
+        for s in np.unique(np.concatenate([band_shard, sig_shard])):
+            bm = band_shard == s
+            si = sig_shard == s
             refs.append(shards[int(s)].offer.remote(
-                key,
-                flat_b[m].tolist(),
-                [ids[j] for j in di],
-                [sig_bytes[j] for j in di],
+                key, flat_b[bm], enc[flat_i[bm]], enc[si], compact[si],
             ))
-        ray.get(refs)
-        return pa.table({"n": pa.array([batch.num_rows],
-                                       type=pa.int64())})
+        ray.get(refs)  # ack before the barrier counts this block done
+        return pa.table({
+            "doc_id": id_col,
+            "sig": pa.array([s.tobytes() for s in compact],
+                            type=pa.binary()),
+            "buckets": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat_b, type=pa.int64()), bands),
+        })
 
-    counts = docs.map_batches(offer, batch_format="pyarrow").materialize()
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    sig_ds = docs.map_batches(offer, batch_format="pyarrow").materialize()
     if stats is not None:
-        stats["n_input"] = sum(r["n"] for r in counts.take_all())
+        stats["n_input"] = sig_ds.count()  # metadata count — free
+        stats["t_offer_s"] = round(_time.perf_counter() - _t0, 2)
 
-    cols = list(keep_cols)
-
-    def keep(batch: pa.Table) -> pa.Table:
+    def decide(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
+        id_col = batch.column("doc_id")
         if batch.num_rows == 0:
-            return batch.select(cols)
-        ids, sigs, buckets = _sigs_buckets(batch)
-        own_compact = _sig_compact(sigs)
-        uniq = np.unique(buckets.reshape(-1))
+            return pa.schema([("doc_id", id_col.type)]).empty_table()
+        ids_np = id_col.to_numpy(zero_copy_only=False)
+        ids = [i.item() if hasattr(i, "item") else i for i in ids_np]
+        enc = np.array([_enc_id_str(i) for i in ids])
+        own_compact = np.frombuffer(
+            b"".join(batch.column("sig").to_pylist()), dtype=np.uint8
+        ).reshape(len(ids), -1)
+        buckets = (
+            batch.column("buckets").chunk(0).values.to_numpy()
+            .reshape(len(ids), bands)
+        )
+        uniq, inverse = np.unique(buckets.reshape(-1),
+                                  return_inverse=True)
         shard_of = uniq % n
-        bucket_entries: dict = {}
-        refs, groups = [], []
+        refs, group_pos = [], []
         for s in np.unique(shard_of):
-            m = shard_of == s
-            groups.append(uniq[m])
-            refs.append(shards[int(s)].candidates.remote(
-                uniq[m].tolist()))
-        for grp, res in zip(groups, ray.get(refs)):
-            for b, entries in zip(grp, res):
-                bucket_entries[int(b)] = entries
-        keep_mask = np.ones(len(ids), dtype=bool)
-        for j, own in enumerate(ids):
+            pos = np.nonzero(shard_of == s)[0]
+            group_pos.append(pos)
+            refs.append(shards[int(s)].candidates.remote(uniq[pos]))
+        # every probed bucket holds the probing doc's OWN entry (its
+        # offer landed before the barrier), so a bucket carries a
+        # foreign candidate iff its entry count is >= 2 — materialize
+        # entry lists only for those (O(dups), not O(docs x bands))
+        bucket_entries: dict = {}
+        counts_full = np.empty(len(uniq), dtype=np.int64)
+        for pos, (counts, c_ids, c_sealed) in zip(group_pos,
+                                                  ray.get(refs)):
+            counts_full[pos] = counts
+            multi = np.nonzero(counts >= 2)[0]
+            if len(multi):
+                starts = np.cumsum(counts) - counts
+                for k in multi:
+                    s0, c0 = int(starts[k]), int(counts[k])
+                    bucket_entries[int(uniq[pos[k]])] = (
+                        c_ids[s0:s0 + c0], c_sealed[s0:s0 + c0])
+        cell_counts = counts_full[inverse].reshape(len(ids), bands)
+        slow = np.nonzero((cell_counts >= 2).any(axis=1))[0]
+        # per-doc candidate sets (deduped across the doc's bands), then
+        # ONE batched signature fetch for the union — the second hop
+        cand_of, need = {}, set()
+        for j in slow:
+            own_e = enc[j]
             cand: dict = {}
             for b in buckets[j]:
-                for cid, csig, sealed in bucket_entries.get(int(b), []):
-                    if cid != own:
-                        cand[cid] = (csig, sealed)
-            if not cand:
-                continue
-            mat = np.frombuffer(
-                b"".join(c[0] for c in cand.values()),
-                dtype=np.uint8,
-            ).reshape(len(cand), -1)
+                e = bucket_entries.get(int(b))
+                if e is None:
+                    continue
+                for cid, sealed in zip(*e):
+                    if cid != own_e:
+                        cand[str(cid)] = bool(sealed)
+            if cand:
+                cand_of[j] = cand
+                need.update(cand)
+        sig_of: dict = {}
+        if need:
+            need_a = np.array(sorted(need))
+            route = np.array([_id_route_enc(e, n) for e in need_a],
+                             dtype=np.int64)
+            refs, groups = [], []
+            for s in np.unique(route):
+                grp = need_a[route == s]
+                groups.append(grp)
+                refs.append(shards[int(s)].get_sigs.remote(grp))
+            for grp, (found, mat) in zip(groups, ray.get(refs)):
+                if not found.all():
+                    raise RuntimeError(
+                        "near-dup index: candidate signature missing "
+                        f"for ids {grp[~found][:3].tolist()!r} — a "
+                        "band entry without a home signature means "
+                        "the offer barrier was violated"
+                    )
+                for e, row in zip(grp, mat):
+                    sig_of[str(e)] = row
+        keep_mask = np.ones(len(ids), dtype=bool)
+        for j, cand in cand_of.items():
+            own = ids[j]
+            mat = np.stack([sig_of[c] for c in cand])
             sims = (mat == own_compact[j]).mean(axis=1)
-            for (cid, (_, sealed)), sim in zip(cand.items(), sims):
-                if sim >= threshold and (sealed or _id_lt(cid, own)):
+            for (cid, sealed), sim in zip(cand.items(), sims):
+                if sim >= threshold and (
+                        sealed or _id_lt(_dec_id_str(cid), own)):
                     keep_mask[j] = False
                     break
         # survivors become this epoch's history candidates: mark them
-        # on every shard holding one of their band entries (mark is
-        # idempotent, so Ray task retries are safe)
+        # on every shard holding one of their band entries AND their
+        # signature home shard (mark is idempotent — retries are safe)
         kept_idx = np.nonzero(keep_mask)[0]
         if len(kept_idx):
-            mark_refs = []
-            kept_flat = np.isin(flat_doc := np.repeat(
-                np.arange(len(ids)), bands), kept_idx)
+            flat_doc = np.repeat(np.arange(len(ids)), bands)
+            kept_flat = np.isin(flat_doc, kept_idx)
             flat_b = buckets.reshape(-1)
-            shard_of = flat_b % n
-            for s in np.unique(shard_of[kept_flat]):
-                m = kept_flat & (shard_of == s)
-                mark_refs.append(shards[int(s)].mark.remote(
-                    list({ids[j] for j in flat_doc[m]})))
+            b_shard = flat_b % n
+            sig_route = np.array(
+                [_id_route_enc(str(enc[j]), n) for j in kept_idx],
+                dtype=np.int64)
+            mark_refs = []
+            for s in range(n):
+                both = np.unique(np.concatenate([
+                    enc[flat_doc[kept_flat & (b_shard == s)]],
+                    enc[kept_idx[sig_route == s]],
+                ]))
+                if len(both):
+                    mark_refs.append(shards[s].mark.remote(both))
             ray.get(mark_refs)
-        return batch.filter(pa.array(keep_mask)).select(cols)
+        return pa.table({"doc_id": id_col.filter(pa.array(~keep_mask))})
 
-    return docs.map_batches(keep, batch_format="pyarrow").materialize()
+    _t1 = _time.perf_counter()
+    dropped_ds = sig_ds.map_batches(
+        decide, batch_format="pyarrow").materialize()
+    n_dropped = dropped_ds.count()
+    if stats is not None:
+        stats["t_decide_s"] = round(_time.perf_counter() - _t1, 2)
+    cols = list(keep_cols)
+
+    if n_dropped == 0:
+        return docs.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        ).materialize()
+    if n_dropped > _DROPLIST_DRIVER_MAX:
+        from ..functions.relational import anti_join
+
+        kept = anti_join(docs, dropped_ds, key="doc_id",
+                         left_cols=[c for c in cols if c != "doc_id"])
+        return kept.map_batches(  # normalize to keep_cols projection
+            lambda b: b.select(cols), batch_format="pyarrow"
+        ).materialize()
+
+    key_type = docs.schema().base_schema.field("doc_id").type
+    drop_ref = ray.put(pa.array(
+        [r["doc_id"] for r in dropped_ds.take_all()], type=key_type))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch.select(cols)
+        drop = ray.get(drop_ref)  # local object-store hit per batch
+        mask = pc.invert(pc.is_in(batch.column("doc_id"),
+                                  value_set=drop))
+        return batch.filter(mask).select(cols)
+
+    return docs.map_batches(apply, batch_format="pyarrow").materialize()
