@@ -338,12 +338,15 @@ def _codepoints(texts: list[str]) -> np.ndarray:
 def fingerprint_texts(texts: list[str]) -> np.ndarray:
     """Vectorized ``rolling_fingerprint`` of every text (bit-identical;
     VERDICT r2 #3 replaced the per-codepoint Python loop).  Chunked over
-    docs so the O(total-codepoints) temporaries stay ~a few hundred MB
-    regardless of batch size."""
+    docs — and the chunk is CACHE-sized, not heap-sized: the Horner
+    pass allocates ~5 same-length temporaries, and at 8M codepoints
+    (the old bound) they measured 24x slower per doc than at 32k
+    (0.22 -> 0.009 ms/doc single-process, BASELINE.md r4); results are
+    bit-identical across chunk sizes (reduceat per doc segment)."""
     lengths = np.fromiter((len(t) for t in texts), dtype=np.int64,
                           count=len(texts))
     out = np.zeros(len(texts), dtype=np.uint64)
-    chunk_cp = 1 << 23
+    chunk_cp = 1 << 15
     lo = 0
     while lo < len(texts):
         if lengths[lo] > _PW_MAX:
@@ -425,7 +428,11 @@ class SimHasher:
     or per-doc Python loop (VERDICT r2 #3)."""
 
     _SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    _CHUNK_POS = 200_000  # positions per bit-matrix chunk (~50 MB int32)
+    _CHUNK_POS = 8_192  # positions per bit-matrix chunk.  Cache-sized,
+    # not heap-sized: the (200k x 60) int32 matrix measured 4x slower
+    # per doc than a ~2 MB chunk (0.26 -> 0.066 ms/doc single-process,
+    # BASELINE.md r4); results are bit-identical (majority sums are
+    # associative over position chunks)
 
     def simhash(self, text: str) -> int:
         """Scalar reference chain (property-tested against __call__)."""
