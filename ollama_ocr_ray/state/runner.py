@@ -844,6 +844,9 @@ def run_ingest(input_path: str, output_dir: str, *,
         "index_entries": int(n_entries),
         "index_dir": index_dir,
     }
+    for k in ("t_offer_s", "t_decide_s"):  # near-mode phase timings
+        if k in stats:
+            summary[k] = stats[k]
     tmp_key = done_key + ".tmp"
     with open(tmp_key, "w") as f:
         json.dump(summary, f)
