@@ -837,3 +837,44 @@ def test_neardup_snapshot_sig_format_checked(ray_session, tmp_path):
     with pytest.raises(ValueError, match="unknown mode"):
         run_ingest("/tmp/nonexistent", str(tmp_path / "o"),
                    mode="NEAR")
+
+
+def test_neardup_antijoin_droplist_path(ray_session, monkeypatch):
+    """The apply pass switches to the co-partitioned anti-join when
+    the epoch's droplist exceeds the driver bound; forcing the bound
+    to zero must yield exactly the broadcast path's survivors."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.state import dedup_index as di
+
+    rng = np.random.RandomState(7)
+    texts, ids = [], []
+    for g in range(6):                       # 6 near-dup pairs
+        base = _word_doc(rng)
+        words = base.split()
+        words[2] = "CHANGED"
+        texts += [base, " ".join(words)]
+        ids += [2 * g, 2 * g + 1]
+    for i in range(20):
+        texts.append(_word_doc(rng))
+        ids.append(100 + i)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    def run():
+        return {
+            r["doc_id"]
+            for r in di.ingest_neardup(
+                rd.from_arrow(t).repartition(4),
+                di.NearDupIndex(n_shards=3), threshold=0.7
+            ).take_all()
+        }
+
+    want = run()                             # broadcast path
+    monkeypatch.setattr(di, "_DROPLIST_DRIVER_MAX", 0)
+    got = run()                              # anti-join path
+    assert got == want
+    assert want == {2 * g for g in range(6)} | {100 + i
+                                                for i in range(20)}
