@@ -419,3 +419,39 @@ def test_index_ingest_equals_batch_dedup(ray_session, seed, n_parts):
     got = {(r["doc_id"], r["n_dups"])
            for r in ingest_dedup(ds, DedupIndex(n_shards=3)).take_all()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 6))
+def test_neardup_ingest_partitioning_invariant(ray_session, seed, n_parts):
+    """The near-dup keep-rule (sealed or min-id wins) is deterministic,
+    so the kept set must not depend on how the epoch is partitioned
+    across offer/decide batches."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import NearDupIndex, ingest_neardup
+
+    rng = np.random.RandomState(seed)
+    words = [f"w{i:03d}" for i in range(300)]
+    texts, ids = [], []
+    for g in range(rng.randint(1, 8)):       # near-dup groups of 1-3
+        base = " ".join(rng.choice(words, size=40))
+        for c in range(rng.randint(1, 4)):
+            w = base.split()
+            if c:
+                w[c] = f"EDIT{c}"
+            texts.append(" ".join(w))
+            ids.append(100 * g + c)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    def run(parts):
+        return {
+            r["doc_id"]
+            for r in ingest_neardup(
+                rd.from_arrow(t).repartition(parts),
+                NearDupIndex(n_shards=3), threshold=0.7
+            ).take_all()
+        }
+
+    assert run(n_parts) == run(1)
