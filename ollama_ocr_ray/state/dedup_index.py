@@ -426,14 +426,19 @@ class SigShard:
     entries (per-entry Python objects; measured in BASELINE.md r4).
     Ids live in the encoded ``kind:value`` string form throughout.
 
-    ``mark`` records the ids the keep phase decided to EXPORT; ``seal``
-    then keeps only marked open entries — a dropped document's
-    signature must NOT become history, or later epochs over-drop docs
-    whose only near-dup was never exported (transitive chain-drops)."""
+    ``condemn`` records the ids the decide phase DROPPED; ``seal``
+    prunes their open entries — a dropped document's signature must
+    NOT become history, or later epochs over-drop docs whose only
+    near-dup was never exported (transitive chain-drops).  Condemning
+    the dropped side (O(dups)) instead of marking the kept side
+    (O(corpus)) is safe because ``ingest_neardup`` materializes the
+    decide pass before returning, so every document has been decided
+    before anything can seal; condemns are idempotent under task
+    retries."""
 
     def __init__(self):
         self._seen_keys: set = set()
-        self._marked: list = []            # U-str array chunks
+        self._condemned: list = []         # U-str array chunks
         # band space: bucket-sorted columns + pending offer chunks
         self._bk = np.empty(0, dtype=np.int64)
         self._bi = np.empty(0, dtype="U1")
@@ -521,24 +526,24 @@ class SigShard:
         found = self._sk[pos_c] == ids
         return found, self._sv[pos_c[found]]
 
-    def mark(self, ids) -> None:
+    def condemn(self, ids) -> None:
         if len(ids):
-            self._marked.append(np.asarray(ids))
+            self._condemned.append(np.asarray(ids))
 
     def seal(self) -> int:
         self._compact()
-        marked = (np.unique(np.concatenate(self._marked))
-                  if self._marked else np.empty(0, dtype="U1"))
-        keep_b = self._bsealed | np.isin(self._bi, marked)
+        condemned = (np.unique(np.concatenate(self._condemned))
+                     if self._condemned else np.empty(0, dtype="U1"))
+        keep_b = self._bsealed | ~np.isin(self._bi, condemned)
         self._bk = self._bk[keep_b]
         self._bi = self._bi[keep_b]
         self._bsealed = np.ones(len(self._bk), dtype=bool)
-        keep_s = self._ssealed | np.isin(self._sk, marked)
+        keep_s = self._ssealed | ~np.isin(self._sk, condemned)
         self._sk = self._sk[keep_s]
         self._sv = self._sv[keep_s] if self._sv.shape[0] else self._sv
         self._ssealed = np.ones(len(self._sk), dtype=bool)
         self._seen_keys = set()
-        self._marked = []
+        self._condemned = []
         return int(len(self._bk))
 
     def dump_sealed(self, bands_path: str, sigs_path: str) -> int:
@@ -733,11 +738,12 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
        1M-doc ingest wall, BASELINE.md r4).
     2. decide — over the signature rows (no text): probe buckets for
        candidate IDS, batch-fetch the few verify-worthy signatures by
-       id (the second hop of the single-copy layout), verify, ``mark``
-       survivors, and emit the DROPPED ids.  Materializing this pass
-       is the mark barrier: ``seal()``/``save()`` prune every unmarked
-       entry, because a dropped document's signature must not suppress
-       future documents (it was never exported).
+       id (the second hop of the single-copy layout), verify,
+       ``condemn`` the dropped ids on their shards (O(dups) traffic),
+       and emit them.  Materializing this pass is the condemn barrier:
+       ``seal()``/``save()`` prune every condemned entry, because a
+       dropped document's signature must not suppress future documents
+       (it was never exported).
     3. apply — filter ``docs`` by the droplist: broadcast ``pc.is_in``
        when the epoch's dup count is driver-small, else the
        co-partitioned ``relational.anti_join``.  The droplist is
@@ -887,27 +893,28 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
                         sealed or _id_lt(_dec_id_str(cid), own)):
                     keep_mask[j] = False
                     break
-        # survivors become this epoch's history candidates: mark them
-        # on every shard holding one of their band entries AND their
-        # signature home shard (mark is idempotent — retries are safe)
-        kept_idx = np.nonzero(keep_mask)[0]
-        if len(kept_idx):
+        # dropped docs must NOT become history: condemn them on every
+        # shard holding one of their band entries AND their signature
+        # home shard (O(dups) traffic, not O(corpus); idempotent —
+        # retries are safe; the decide materialize precedes any seal)
+        drop_idx = np.nonzero(~keep_mask)[0]
+        if len(drop_idx):
             flat_doc = np.repeat(np.arange(len(ids)), bands)
-            kept_flat = np.isin(flat_doc, kept_idx)
+            drop_flat = np.isin(flat_doc, drop_idx)
             flat_b = buckets.reshape(-1)
             b_shard = flat_b % n
             sig_route = np.array(
-                [_id_route_enc(str(enc[j]), n) for j in kept_idx],
+                [_id_route_enc(str(enc[j]), n) for j in drop_idx],
                 dtype=np.int64)
-            mark_refs = []
+            refs = []
             for s in range(n):
                 both = np.unique(np.concatenate([
-                    enc[flat_doc[kept_flat & (b_shard == s)]],
-                    enc[kept_idx[sig_route == s]],
+                    enc[flat_doc[drop_flat & (b_shard == s)]],
+                    enc[drop_idx[sig_route == s]],
                 ]))
                 if len(both):
-                    mark_refs.append(shards[s].mark.remote(both))
-            ray.get(mark_refs)
+                    refs.append(shards[s].condemn.remote(both))
+            ray.get(refs)
         return pa.table({"doc_id": id_col.filter(pa.array(~keep_mask))})
 
     _t1 = _time.perf_counter()
