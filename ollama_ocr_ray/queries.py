@@ -780,6 +780,27 @@ def q_lm_familiarity(sf_dir: str):
     return lm_familiarity(ds, vocab_size=256)
 
 
+def q_dsir_scores(sf_dir: str):
+    """DSIR-style hashed n-gram importance scores (functions/dsir.py):
+    target = lang='en' docs, raw = the whole corpus; exact-integer
+    ratio weights so the oracle hash-matches.  Two bounded exchanges
+    (B-bucket histograms), one streaming score scan."""
+    from .functions.dsir import dsir_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return dsir_scores(ds, target_col="lang", target_value="en")
+
+
+def q_dsir_select(sf_dir: str):
+    """Deterministic top-100 importance-resampling draw: the selection
+    step over q_dsir_scores' weights, via cap_per_group's partial-top-k
+    plan (exchange bounded by k x blocks)."""
+    from .functions.dsir import dsir_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return dsir_select(ds, k=100, target_col="lang", target_value="en")
+
+
 def q_dup_substrings(sf_dir: str):
     """Lee-et-al-style duplicated-substring mass: per doc, how many of
     its distinct 25-char windows occur in >= 2 documents (dedup.py
@@ -1520,6 +1541,8 @@ def queries() -> dict:
         "source_mix": q_source_mix,
         "budget_select": q_budget_select,
         "lm_familiarity": q_lm_familiarity,
+        "dsir_scores": q_dsir_scores,
+        "dsir_select": q_dsir_select,
         "dup_substrings": q_dup_substrings,
         "chunk_docs": q_chunk_docs,
         "source_cap": q_source_cap,
@@ -2379,6 +2402,63 @@ def oracle_sql() -> dict:
                     THEN (10000 * sc.n_seen) // sc.n_bigrams
                     ELSE 0 END AS BIGINT) AS familiarity_bp
         FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+    # dsir_scores: the 60-bit token-hash chain re-derived in HUGEINT
+    # (the same chain the simhash oracle proves), folded mod 8192
+    # buckets; weights and scores are pure integer arithmetic so no
+    # float enters the compare (functions/dsir.py docstring).
+    _hash60_tok = """
+        CAST((CAST((CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(split(tok, ''),
+                   c -> CAST(unicode(c) AS HUGEINT))),
+               (h, b) -> (h * 262147 + b + 1)
+                         % 2305843009213693951) AS HUGEINT)
+              * 1220703125 + 104729)
+             % 2305843009213693951 AS HUGEINT)
+             * 906585445 + 2654435761)
+            % 2305843009213693951 % 8192 AS BIGINT)
+    """
+    d["dsir_scores"] = f"""
+        WITH tok AS (
+          SELECT doc_id, lang, {_LTOKS_SQL} AS t FROM documents
+        ), feats AS (
+          SELECT doc_id, lang, unnest(t) AS tok FROM tok
+          UNION ALL
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS tok
+          FROM tok WHERE len(t) >= 2
+        ), bucketed AS (
+          SELECT doc_id, lang, {_hash60_tok} AS bucket FROM feats
+        ), counts AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS r,
+                 CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS t
+          FROM bucketed GROUP BY bucket
+        ), w AS (
+          SELECT bucket, ((t + 1) * 10000) // (r + 1) AS w FROM counts
+        ), sc AS (
+          SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(w.w) AS BIGINT) AS dsir_score
+          FROM bucketed b JOIN w USING (bucket) GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(coalesce(sc.dsir_score, 0) AS BIGINT) AS dsir_score,
+               CAST(CASE WHEN coalesce(sc.n_feats, 0) > 0
+                    THEN sc.dsir_score // sc.n_feats ELSE 0 END
+                    AS BIGINT) AS avg_w_bp
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+    # dsir_select: (avg_w_bp DESC, doc_id) is a total order, so the
+    # window cut is deterministic on both sides.
+    d["dsir_select"] = f"""
+        WITH ranked AS (
+          SELECT *, row_number() OVER (ORDER BY avg_w_bp DESC, doc_id)
+                 AS rn
+          FROM ({d["dsir_scores"]})
+        )
+        SELECT doc_id, n_feats, dsir_score, avg_w_bp
+        FROM ranked WHERE rn <= 100
     """
     # dup_substrings: the oracle groups raw substrings; the Ray side
     # groups 64-bit window hashes — only the per-doc counts compare
