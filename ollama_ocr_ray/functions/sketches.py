@@ -425,3 +425,76 @@ def approx_quantiles_kll(ds, key_col: str, value_col: str,
         .groupby(key_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def grouped_percent_rank(ds, key_col: str, value_col: str,
+                         id_cols: tuple = ("doc_id",)):
+    """Per-row EXACT percent rank within its group WITHOUT a sort:
+    ``pct_bp = (#rows in the group with a strictly smaller value) *
+    10000 // group size`` — SQL's ``(rank() - 1) * 10000 //
+    count(*)`` window, the primitive behind percentile-bucketed
+    quality gates ("keep the top decile per language").
+
+    A distributed window function is normally a full sort exchange
+    plus carried block offsets; like ``grouped_quantiles`` this trades
+    that for a mergeable (key, value, count) histogram — valid when
+    the value domain is bounded discrete (lengths, token counts,
+    integer scores).  Pass 1 ships per-block histogram partials (<=
+    |domain| rows per block), the merged histogram (groups x distinct
+    values) is collected once and broadcast by closure capture; pass 2
+    is an exchange-free streaming map over the original rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        hist = (
+            pa.table({key_col: batch.column(key_col),
+                      value_col: batch.column(value_col)})
+            .group_by([key_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {key_col: hist.column(key_col),
+             value_col: hist.column(value_col),
+             "cnt": hist.column("count_all").cast(pa.int64())}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([key_col, value_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    # per key: sorted distinct values + count of rows strictly below
+    # each, as parallel arrays for a vectorized searchsorted probe
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r[key_col], []).append((r[value_col], r["cnt"]))
+    lookup = {}
+    for key, vc in per_key.items():
+        vc.sort()
+        vals = np.array([v for v, _ in vc], dtype=np.int64)
+        cnts = np.array([c for _, c in vc], dtype=np.int64)
+        below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        lookup[key] = (vals, below, int(cnts.sum()))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        out = np.zeros(len(batch), dtype=np.int64)
+        for key in np.unique(keys):
+            m = keys == key
+            kv, below, n = lookup[key]
+            idx = np.searchsorted(kv, vals[m])
+            out[m] = below[idx] * 10_000 // n
+        cols = {c: batch.column(c) for c in id_cols}
+        cols[key_col] = batch.column(key_col)
+        cols[value_col] = batch.column(value_col)
+        cols["pct_bp"] = pa.array(out)
+        return pa.table(cols)
+
+    return ds.map_batches(rank, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -801,6 +801,39 @@ def q_dsir_select(sf_dir: str):
     return dsir_select(ds, k=100, target_col="lang", target_value="en")
 
 
+def q_topic_assign(sf_dir: str):
+    """Exact quantized nearest-centroid topic routing
+    (functions/clustering.py): centroids = the 8 smallest vec_ids,
+    both sides dot on the floor(x*2^20+0.5) int64 lattice so the
+    argmax is bit-reproducible.  Exchange-free assignment pass."""
+    from .functions.clustering import centroid_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return centroid_assign(ds, k=8)
+
+
+def q_cluster_purity(sf_dir: str):
+    """Per-topic modal label over the topic_assign partition: one
+    (topic x label)-sized exchange after the exchange-free assignment
+    (functions/clustering.py cluster_purity)."""
+    from .functions.clustering import cluster_purity
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    return cluster_purity(ds, k=8)
+
+
+def q_rank_pct(sf_dir: str):
+    """Distributed PERCENT_RANK without the sort exchange
+    (sketches.grouped_percent_rank): per-lang percentile of n_chars in
+    basis points via a mergeable bounded-domain histogram broadcast."""
+    from .functions.sketches import grouped_percent_rank
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    return grouped_percent_rank(ds, "lang", "n_chars")
+
+
 def q_dup_substrings(sf_dir: str):
     """Lee-et-al-style duplicated-substring mass: per doc, how many of
     its distinct 25-char windows occur in >= 2 documents (dedup.py
@@ -1515,7 +1548,6 @@ def queries() -> dict:
         # --- flagship pipelines ---
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
-        "structured_receipts": q_structured_receipts,
         "prep_corpus": q_prep_corpus,
         "curate_corpus": q_curate_corpus,
         "export_corpus": q_export_corpus,
@@ -1543,6 +1575,9 @@ def queries() -> dict:
         "lm_familiarity": q_lm_familiarity,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
+        "topic_assign": q_topic_assign,
+        "cluster_purity": q_cluster_purity,
+        "rank_pct": q_rank_pct,
         "dup_substrings": q_dup_substrings,
         "chunk_docs": q_chunk_docs,
         "source_cap": q_source_cap,
@@ -1560,14 +1595,17 @@ def queries() -> dict:
         # driver's ~50-row recording cap) ---
         "segment_revenue": q_segment_revenue,
         "events_hourly": q_events_hourly,
+        "top_orders_segment": q_top_orders_segment,
+        # --- stable tail (beyond the driver's ~50-row recording cap
+        # but selfcheck-verified every session): top_unshipped /
+        # events_sliding run their r3-recorded-green plans unchanged;
+        # structured_receipts is no_oracle and transitively verified
+        # by the in-cap extract_structured gate ---
         "top_unshipped": q_top_unshipped,
         "events_sliding": q_events_sliding,
-        "top_orders_segment": q_top_orders_segment,
+        "structured_receipts": q_structured_receipts,
         "sessionize": q_sessionize,
         "asof_last_order": q_asof_last_order,
-        # --- stable tail (unchanged for 2+ rounds; green since r2;
-        # beyond the driver's ~50-row recording cap but selfcheck-
-        # verified every session) ---
         "bpe_token_count": q_bpe_token_count,
         "knn_cosine": q_knn_cosine,
         # text-analysis rows green + untouched since r3's vectorization
@@ -2459,6 +2497,72 @@ def oracle_sql() -> dict:
         )
         SELECT doc_id, n_feats, dsir_score, avg_w_bp
         FROM ranked WHERE rn <= 100
+    """
+    # topic_assign: both sides quantize to the floor(x*2^20 + 0.5)
+    # int64 lattice (x*2^20 is an exact float64 exponent shift for
+    # every float32 input, so the lattice is bit-identical), dot in
+    # pure integer arithmetic, break argmax ties to the smallest
+    # centroid id (clustering.py docstring).  The two aligned unnests
+    # zip positionally in DuckDB.
+    _TA_ASSIGN = """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                        AS BIGINT)) AS qe
+          FROM embeddings
+        ), cent AS (
+          SELECT vec_id AS cid, qe AS qc FROM q
+          WHERE vec_id IN (SELECT vec_id FROM embeddings
+                           ORDER BY vec_id LIMIT 8)
+        ), qf AS (
+          SELECT vec_id, unnest(range(1, len(qe) + 1)) AS i,
+                 unnest(qe) AS v
+          FROM q
+        ), cf AS (
+          SELECT cid, unnest(range(1, len(qc) + 1)) AS i,
+                 unnest(qc) AS v
+          FROM cent
+        ), dots AS (
+          SELECT qf.vec_id, cf.cid,
+                 CAST(sum(qf.v * cf.v) AS BIGINT) AS dp
+          FROM qf JOIN cf USING (i) GROUP BY 1, 2
+        ), best AS (
+          SELECT vec_id, cid AS topic, dp,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dp DESC, cid) AS rn
+          FROM dots
+        )
+        SELECT vec_id, topic, dp FROM best WHERE rn = 1
+    """
+    d["topic_assign"] = _TA_ASSIGN
+    d["cluster_purity"] = f"""
+        WITH assign AS ({_TA_ASSIGN}), lab AS (
+          SELECT a.topic, CAST(e.label AS BIGINT) AS label,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM assign a JOIN embeddings e USING (vec_id)
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT topic, label, n,
+                 row_number() OVER (PARTITION BY topic
+                                    ORDER BY n DESC, label) AS rn,
+                 CAST(sum(n) OVER (PARTITION BY topic) AS BIGINT)
+                   AS n_vecs
+          FROM lab
+        )
+        SELECT topic, n_vecs, label AS top_label, n AS top_n
+        FROM ranked WHERE rn = 1
+    """
+    # rank_pct: (rank() - 1) = count of strictly smaller values in the
+    # group — the window form of sketches.grouped_percent_rank's
+    # histogram broadcast.
+    d["rank_pct"] = """
+        SELECT doc_id, lang, n_chars,
+               CAST(((rank() OVER (PARTITION BY lang
+                                   ORDER BY n_chars) - 1) * 10000)
+                    // (count(*) OVER (PARTITION BY lang))
+                    AS BIGINT) AS pct_bp
+        FROM documents
     """
     # dup_substrings: the oracle groups raw substrings; the Ray side
     # groups 64-bit window hashes — only the per-doc counts compare

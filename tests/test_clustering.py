@@ -1,0 +1,154 @@
+"""Quantized nearest-centroid assignment (functions/clustering.py) and
+grouped percent rank (sketches.grouped_percent_rank): brute-force
+parity, tie rules, partitioning invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ollama_ocr_ray.functions.clustering import (
+    QUANT_SCALE,
+    centroid_assign,
+    cluster_purity,
+    seed_centroids,
+)
+from ollama_ocr_ray.functions.sketches import grouped_percent_rank
+
+RNG = np.random.default_rng(7)
+DIM = 6
+N = 40
+VEC_IDS = np.array([5, 0, 3, 1, 9, 2] + list(range(10, 10 + N - 6)),
+                   dtype=np.int64)
+MAT = RNG.normal(scale=0.4, size=(N, DIM)).astype(np.float32)
+# force an exact dot-product tie between centroids 0 and 1 for one row:
+# centroids are the k smallest vec_ids (0,1,2); make rows of vec_id 0
+# and 1 identical so every vector ties on them equally... instead make
+# one PROBE row orthogonal-equal: simplest exact tie is the zero vector
+# (dp = 0 with every centroid).
+MAT[6] = 0.0
+LABELS = (VEC_IDS % 3).astype(np.int32)
+
+
+def _table():
+    return pa.table(
+        {
+            "vec_id": pa.array(VEC_IDS),
+            "embedding": pa.array([list(map(float, r)) for r in MAT],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array(LABELS, type=pa.int32()),
+        }
+    )
+
+
+def _quant(m):
+    return np.floor(m.astype(np.float64) * QUANT_SCALE + 0.5).astype(
+        np.int64
+    )
+
+
+def _brute_assign(k=3):
+    order = np.argsort(VEC_IDS)[:k]
+    cids = VEC_IDS[order]
+    cmat = _quant(MAT[order])
+    q = _quant(MAT)
+    dots = q @ cmat.T
+    best = np.argmax(dots, axis=1)
+    return {
+        int(v): (int(cids[b]), int(dots[i, b]))
+        for i, (v, b) in enumerate(zip(VEC_IDS, best))
+    }
+
+
+def _collect(ds):
+    t = pa.concat_tables(
+        list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    return t.to_pylist()
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_centroid_assign_brute_force(ray_session, nblocks):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_table()).repartition(nblocks)
+    got = {r["vec_id"]: (r["topic"], r["dp"])
+           for r in _collect(centroid_assign(ds, k=3))}
+    assert got == _brute_assign(3)
+
+
+def test_zero_vector_ties_to_smallest_centroid(ray_session):
+    import ray.data as rd
+
+    got = {r["vec_id"]: r for r in
+           _collect(centroid_assign(rd.from_arrow(_table()), k=3))}
+    # VEC_IDS[6] = 10 is the zero vector: dp 0 with every centroid
+    assert got[10]["dp"] == 0 and got[10]["topic"] == 0
+
+
+def test_seed_centroids_partial_bottom_k(ray_session):
+    import ray.data as rd
+
+    ids, cmat = seed_centroids(rd.from_arrow(_table()).repartition(7), 3)
+    assert list(ids) == [0, 1, 2]
+    order = np.argsort(VEC_IDS)[:3]
+    assert np.array_equal(cmat, _quant(MAT[order]))
+
+
+def test_cluster_purity_brute_force(ray_session):
+    import ray.data as rd
+
+    assign = _brute_assign(3)
+    exp = {}
+    for vid, (topic, _) in assign.items():
+        lab = int(LABELS[list(VEC_IDS).index(vid)])
+        exp.setdefault(topic, {}).setdefault(lab, 0)
+        exp[topic][lab] += 1
+    want = {}
+    for topic, labs in exp.items():
+        top_label, top_n = sorted(labs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[topic] = (sum(labs.values()), top_label, top_n)
+
+    got = {r["topic"]: (r["n_vecs"], r["top_label"], r["top_n"])
+           for r in _collect(cluster_purity(rd.from_arrow(_table()), k=3))}
+    assert got == want
+
+
+# --- grouped percent rank ---------------------------------------------------
+
+PR_ROWS = [
+    (0, "en", 10), (1, "en", 20), (2, "en", 20), (3, "en", 30),
+    (4, "de", 5), (5, "de", 5), (6, "de", 5),
+    (7, "fr", 1),
+]
+
+
+def _pr_table():
+    ids, keys, vals = zip(*PR_ROWS)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "lang": pa.array(keys),
+            "n_chars": pa.array(vals, type=pa.int64()),
+        }
+    )
+
+
+def _pr_brute():
+    out = {}
+    for i, k, v in PR_ROWS:
+        grp = [x for x in PR_ROWS if x[1] == k]
+        below = sum(1 for x in grp if x[2] < v)
+        out[i] = below * 10_000 // len(grp)
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_percent_rank_brute_force(ray_session, nblocks):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_pr_table()).repartition(nblocks)
+    got = {r["doc_id"]: r["pct_bp"]
+           for r in _collect(grouped_percent_rank(ds, "lang", "n_chars"))}
+    assert got == _pr_brute()
+    # all-equal group ranks everyone at 0; singleton group too
+    assert got[4] == got[5] == got[6] == 0 and got[7] == 0
