@@ -1181,3 +1181,158 @@ def dedup_keep_best(docs, *, keep_cols: tuple = ("lang", "n_chars")):
         descending=[True, False], k=1,
     )
     return best.select_columns(["doc_id"] + cols)
+
+
+# --- corpus-level line dedup (CCNet / RefinedWeb style) ---------------------
+
+LINE_DROPLIST_CAP = 4_000_000  # driver bound on the broadcast droplist
+
+
+def common_line_droplist(docs, *, delim: str = "\n", min_len: int = 10,
+                         min_count: int = 3):
+    """Dataset of ``line_hash`` (int64 view of the exact codepoint
+    Horner fingerprint) for every ``delim``-separated line of
+    >= ``min_len`` codepoints that occurs >= ``min_count`` times
+    corpus-wide — the boilerplate set a CCNet-style line dedup drops.
+
+    Exchange discipline: one row per DISTINCT line per block
+    (``np.unique`` pre-aggregation inside ``map_batches``) — never the
+    line text — then one sort on ``line_hash`` and a segment-sum +
+    threshold filter under ``folds.exact_segment_fold``, so a hot
+    boilerplate line whose sorted run splits across blocks still
+    counts exactly once."""
+    from .folds import exact_segment_fold
+    from .text import fingerprint_texts
+
+    raw_schema = pa.schema([("line_hash", pa.int64()), ("n", pa.int64())])
+    out_schema = pa.schema([("line_hash", pa.int64())])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return raw_schema.empty_table()
+        lists = pc.split_pattern(
+            batch.column("text").combine_chunks(), pattern=delim)
+        flat = pc.list_flatten(lists)
+        cand = flat.filter(pc.greater_equal(pc.utf8_length(flat), min_len))
+        if len(cand) == 0:
+            return raw_schema.empty_table()
+        hashes = fingerprint_texts(cand.to_pylist())
+        uniq, counts = np.unique(hashes, return_counts=True)
+        return pa.table(
+            {"line_hash": pa.array(uniq.astype(np.int64), type=pa.int64()),
+             "n": pa.array(counts.astype(np.int64), type=pa.int64())}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        starts, _ = _segment_bounds(t.column("line_hash"))
+        starts = np.asarray(starts)
+        tot = np.add.reduceat(
+            t.column("n").to_numpy(zero_copy_only=False), starts)
+        seg_hash = t.column("line_hash").to_numpy(
+            zero_copy_only=False)[starts]
+        return pa.table({"line_hash": pa.array(
+            seg_hash[tot >= min_count], type=pa.int64())})
+
+    sorted_ds = docs.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("line_hash")
+    return exact_segment_fold(
+        sorted_ds, key_cols=["line_hash"], fold=fold,
+        raw_schema=raw_schema, out_schema=out_schema,
+        op="common_line_droplist",
+    )
+
+
+def remove_common_lines(docs, *, delim: str = "\n", min_len: int = 10,
+                        min_count: int = 3, cap: int = LINE_DROPLIST_CAP):
+    """Corpus-level line dedup (CCNet / RefinedWeb / Dolma shape): drop
+    EVERY instance of a line that appears >= ``min_count`` times across
+    the corpus (nav bars, cookie banners, boilerplate footers) and
+    rewrite each document as its kept lines re-joined by ``delim`` in
+    original order ('' when every line is dropped).  Lines shorter than
+    ``min_len`` codepoints are never candidates.
+
+    The reference engine is per-file and has no corpus-wide state —
+    this is a beyond-reference training-data operator (SURVEY §8).
+
+    Plan (two text passes, text never crosses an exchange):
+    1. ``common_line_droplist`` — key-only count exchange;
+    2. bounded driver collect of the droplist hashes.  The >=min_count
+       line set is boilerplate-sized by construction; a corpus where it
+       exceeds ``cap`` raises loudly instead of silently truncating
+       (same contract as ``sketches.heavy_hitters_exact`` — the scale
+       fallback is applying the droplist via a distributed line-level
+       anti-join, which this corpus-size tier does not need);
+    3. one exchange-free rewrite pass: vectorized split / hash /
+       ``searchsorted`` membership / offset-rebuilt list /
+       ``pc.binary_join`` — the sorted hash array broadcasts via
+       closure capture (one implicit ray.put per task).
+
+    Returns (doc_id, text, n_kept, n_dropped).
+    """
+    from .text import fingerprint_texts
+
+    rows = common_line_droplist(
+        docs, delim=delim, min_len=min_len, min_count=min_count
+    ).limit(cap + 1).take_all()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"remove_common_lines: droplist exceeds the driver cap ({cap} "
+            "lines); raise min_count or apply via a distributed anti-join"
+        )
+    drop_sorted = np.sort(
+        np.array([r["line_hash"] for r in rows], dtype=np.int64)
+        .view(np.uint64)
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("n_kept", pa.int64()), ("n_dropped", pa.int64())]
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        lists = pc.split_pattern(batch.column("text"), pattern=delim)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_docs = batch.num_rows
+        list_lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        cand = pc.greater_equal(
+            pc.utf8_length(flat), min_len
+        ).to_numpy(zero_copy_only=False)
+        drop = np.zeros(len(flat), dtype=bool)
+        if cand.any() and len(drop_sorted):
+            hashes = fingerprint_texts(
+                flat.filter(pa.array(cand)).to_pylist())
+            pos = np.minimum(np.searchsorted(drop_sorted, hashes),
+                             len(drop_sorted) - 1)
+            drop[cand] = drop_sorted[pos] == hashes
+        keep = ~drop
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), list_lens)
+        kept_per_doc = np.bincount(seg[keep], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        new_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            flat.filter(pa.array(keep)))
+        clean = pc.binary_join(new_list, delim)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "text": clean,
+             "n_kept": pa.array(kept_per_doc.astype(np.int64),
+                                type=pa.int64()),
+             "n_dropped": pa.array(
+                 (list_lens - kept_per_doc).astype(np.int64),
+                 type=pa.int64())}
+        ).cast(out_schema)
+
+    return docs.map_batches(rewrite, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -845,6 +845,23 @@ def q_dup_substrings(sf_dir: str):
     return dup_substring_stats(ds, k=25)
 
 
+def q_line_dedup(sf_dir: str):
+    """CCNet/RefinedWeb-style corpus-level line dedup
+    (dedup.remove_common_lines): drop every instance of a line that
+    appears past a doc-relative threshold corpus-wide, rewrite docs
+    from kept lines in order.  The synthetic documents have no
+    newlines, so the registry instance runs at WORD granularity
+    (delim=' ', min_len=5) — boilerplate-token removal — with the
+    threshold 1.8 x n_docs so the drop/keep outcome stays mixed at
+    every sf level (integer ceil on both sides)."""
+    from .functions.dedup import remove_common_lines
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_common_lines(
+        ds, delim=" ", min_len=5, min_count=(9 * n_docs + 4) // 5)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Exact dedup keeping the highest-quality copy per duplicate group
     (dedup.py ``dedup_keep_best`` = content hash + cap_per_group(k=1))."""
@@ -1559,6 +1576,7 @@ def queries() -> dict:
         "dup_clusters": q_dup_clusters,
         "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "ngram_dedup": q_ngram_dedup,
+        "line_dedup": q_line_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         # doc_fingerprint promoted into the cap for r4: its Horner
         # kernel was re-chunked this round (bit-identical, but the row
@@ -1689,6 +1707,36 @@ def _base_oracles() -> dict:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents
                              GROUP BY text)
+        """,
+        # line_dedup: the oracle decides by the LINE STRING where the
+        # engine decides by its exact codepoint fingerprint — identical
+        # decisions absent a 61-bit collision (none at oracle scale);
+        # the threshold is the same integer ceil(1.8 * n_docs) on both
+        # sides, and array_to_string of an empty kept-list is '' like
+        # pc.binary_join of an empty sub-list.
+        "line_dedup": """
+            WITH drops AS (
+              SELECT coalesce(list(line), []) AS dl FROM (
+                SELECT line FROM (
+                  SELECT unnest(string_split(text, ' ')) AS line
+                  FROM documents)
+                WHERE length(line) >= 5 GROUP BY line
+                HAVING count(*) >=
+                  (9 * (SELECT count(*) FROM documents) + 4) // 5
+              )
+            )
+            SELECT doc_id,
+                   array_to_string(kept, ' ') AS text,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(n_all - len(kept) AS BIGINT) AS n_dropped
+            FROM (
+              SELECT d.doc_id,
+                     list_filter(string_split(d.text, ' '),
+                         x -> NOT (length(x) >= 5
+                                   AND list_contains(dr.dl, x))) AS kept,
+                     len(string_split(d.text, ' ')) AS n_all
+              FROM documents d CROSS JOIN drops dr
+            )
         """,
         "tfidf_scores": f"""
             WITH tok AS (
