@@ -834,6 +834,17 @@ def q_rank_pct(sf_dir: str):
     return grouped_percent_rank(ds, "lang", "n_chars")
 
 
+def q_emb_gram(sf_dir: str):
+    """Exact distributed Gram matrix over the quantized embedding
+    column (clustering.gram_matrix): one d x d int64 partial per block
+    is the ONLY thing entering the exchange (independent of row
+    count) — the covariance/PCA/whitening building block."""
+    from .functions.clustering import gram_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return gram_matrix(ds)
+
+
 def q_dup_substrings(sf_dir: str):
     """Lee-et-al-style duplicated-substring mass: per doc, how many of
     its distinct 25-char windows occur in >= 2 documents (dedup.py
@@ -1586,9 +1597,11 @@ def queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "knn_join": q_knn_join,
         # --- text analysis --- (lang_summary is the warmup entry above)
-        # --- sampling / sketches ---
-        "lang_sample": q_lang_sample,
-        "source_mix": q_source_mix,
+        # --- sampling / sketches --- (lang_sample/source_mix moved to
+        # the stable tail for r4: recorded green in r3 and their plans
+        # are untouched since — the freed cap slots keep this round's
+        # line_dedup/emb_gram additions AND the rewritten relational
+        # rows all recorded)
         "budget_select": q_budget_select,
         "lm_familiarity": q_lm_familiarity,
         "dsir_scores": q_dsir_scores,
@@ -1596,6 +1609,7 @@ def queries() -> dict:
         "topic_assign": q_topic_assign,
         "cluster_purity": q_cluster_purity,
         "rank_pct": q_rank_pct,
+        "emb_gram": q_emb_gram,
         "dup_substrings": q_dup_substrings,
         "chunk_docs": q_chunk_docs,
         "source_cap": q_source_cap,
@@ -1630,6 +1644,8 @@ def queries() -> dict:
         # wave — moved past the cap so r4's rewritten relational rows
         # (hash_join / exact-fold / window plans) stay recorded
         "doc_token_stats": q_doc_token_stats,
+        "lang_sample": q_lang_sample,
+        "source_mix": q_source_mix,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "top_2gram": q_top_2gram,
@@ -2600,6 +2616,28 @@ def oracle_sql() -> dict:
         )
         SELECT topic, n_vecs, label AS top_label, n AS top_n
         FROM ranked WHERE rn = 1
+    """
+    # emb_gram: both sides quantize to the floor(x*2^10 + 0.5) int64
+    # lattice (exact float64 exponent shift for float32 inputs, like
+    # topic_assign's 2^20 lattice) and sum integer products — the
+    # float64 BLAS matmul on the Ray side is exact under the
+    # documented 2^53 block bound.  range() is 1-based, triu 0-based.
+    d["emb_gram"] = """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5)
+                        AS BIGINT)) AS qe
+          FROM embeddings
+        ), f AS (
+          SELECT vec_id, unnest(range(1, len(qe) + 1)) AS i,
+                 unnest(qe) AS v
+          FROM q
+        )
+        SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+               CAST(sum(a.v * b.v) AS BIGINT) AS g
+        FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
     """
     # rank_pct: (rank() - 1) = count of strictly smaller values in the
     # group — the window form of sketches.grouped_percent_rank's

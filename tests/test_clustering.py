@@ -152,3 +152,23 @@ def test_percent_rank_brute_force(ray_session, nblocks):
     assert got == _pr_brute()
     # all-equal group ranks everyone at 0; singleton group too
     assert got[4] == got[5] == got[6] == 0 and got[7] == 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_gram_matrix_brute_force(ray_session, nblocks):
+    """gram_matrix == numpy int64 brute force on the 2^10 lattice,
+    invariant to block count (per-block float64 partials merge
+    exactly); upper triangle only."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.clustering import GRAM_SCALE, gram_matrix
+
+    t = pa.table({"embedding": pa.array([list(map(float, r)) for r in MAT])})
+    got = {(r["i"], r["j"]): r["g"]
+           for r in _collect(gram_matrix(
+               rd.from_arrow(t).repartition(nblocks)))}
+    q = np.floor(MAT.astype(np.float64) * GRAM_SCALE + 0.5).astype(np.int64)
+    g = q.T @ q
+    iu, ju = np.triu_indices(DIM)
+    exp = {(int(i), int(j)): int(g[i, j]) for i, j in zip(iu, ju)}
+    assert got == exp
