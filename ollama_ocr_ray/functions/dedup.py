@@ -1336,3 +1336,137 @@ def remove_common_lines(docs, *, delim: str = "\n", min_len: int = 10,
 
     return docs.map_batches(rewrite, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def dup_window_droplist(docs, *, k: int = 25, min_docs: int = 2):
+    """Dataset of window hashes (int64 view) for every length-``k``
+    character window occurring in >= ``min_docs`` DISTINCT documents —
+    the removal set behind ``strip_dup_substrings``.  Same hash kernel
+    and distinct-(h, doc_id) exchange as ``dup_substring_stats`` so the
+    two operators agree on what counts as duplicated."""
+    from .folds import exact_segment_fold
+    from .text import codepoints_of
+
+    base = np.uint64(1099511628211)
+    pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    raw_schema = pa.schema([("h", pa.int64()), ("doc_id", pa.int64())])
+    out_schema = pa.schema([("h", pa.int64())])
+
+    def window_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs, owners = [], []
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            cps = codepoints_of(t).astype(np.uint64)
+            if len(cps) < k:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(cps, k)
+            h = np.unique((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+            hs.append(h)
+            owners.append(np.full(len(h), did, dtype=np.int64))
+        if not hs:
+            return raw_schema.empty_table()
+        return pa.table(
+            {"h": pa.array(np.concatenate(hs).view(np.int64)),
+             "doc_id": pa.array(np.concatenate(owners))}
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        starts, ends = _segment_bounds(t.column("h"))
+        sizes = np.asarray(ends) - np.asarray(starts)
+        seg_h = t.column("h").to_numpy(
+            zero_copy_only=False)[np.asarray(starts)]
+        return pa.table(
+            {"h": pa.array(seg_h[sizes >= min_docs], type=pa.int64())}
+        )
+
+    pairs = docs.map_batches(window_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return exact_segment_fold(
+        pairs.sort("h"), key_cols=["h"], fold=fold,
+        raw_schema=raw_schema, out_schema=out_schema,
+        op="dup_window_droplist",
+    )
+
+
+def strip_dup_substrings(docs, *, k: int = 25, min_docs: int = 2,
+                         cap: int = LINE_DROPLIST_CAP):
+    """Duplicated-substring REMOVAL — the apply half of the Lee et al.
+    2022 ExactSubstr design whose diagnostic is ``dup_substring_stats``:
+    every character covered by at least one length-``k`` window that
+    occurs in >= ``min_docs`` distinct documents is removed, in EVERY
+    document (simpler than the paper's keep-one-occurrence rule, which
+    needs a global occurrence election; documented difference).
+
+    Plan: ``dup_window_droplist`` (distinct per-doc window hashes, one
+    sort, >= min_docs segment fold — O(distinct windows) key-only
+    exchange) -> bounded droplist broadcast (loud cap, same contract as
+    ``remove_common_lines``) -> one exchange-free rewrite pass: per doc
+    the window hashes are re-computed vectorized, membership via
+    ``searchsorted``, coverage via a +1/-1 diff array cumsum, and the
+    kept codepoints decode straight back to a string (utf-32 round
+    trip, no per-char Python).
+
+    Returns (doc_id, text, n_removed) where n_removed counts removed
+    codepoints.
+    """
+    from .text import codepoints_of
+
+    base = np.uint64(1099511628211)
+    pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    rows = dup_window_droplist(
+        docs, k=k, min_docs=min_docs
+    ).limit(cap + 1).take_all()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"strip_dup_substrings: droplist exceeds the driver cap "
+            f"({cap} windows); raise k/min_docs or salt-partition the "
+            "apply into per-hash-range passes"
+        )
+    drop_sorted = np.sort(
+        np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("n_removed", pa.int64())]
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        batch = batch.combine_chunks()
+        texts = batch.column("text").to_pylist()
+        out_texts, removed = [], np.zeros(len(texts), dtype=np.int64)
+        for r, t in enumerate(texts):
+            cps = codepoints_of(t).astype(np.uint64)
+            if len(cps) < k or len(drop_sorted) == 0:
+                out_texts.append(t)
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(cps, k)
+            h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+            pos = np.minimum(np.searchsorted(drop_sorted, h),
+                             len(drop_sorted) - 1)
+            st = np.nonzero(drop_sorted[pos] == h)[0]
+            if len(st) == 0:
+                out_texts.append(t)
+                continue
+            diff = np.zeros(len(cps) + 1, dtype=np.int64)
+            diff[st] += 1
+            diff[st + k] -= 1
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = cps[~covered].astype(np.uint32)
+            out_texts.append(kept.tobytes().decode("utf-32-le"))
+            removed[r] = int(covered.sum())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "text": pa.array(out_texts, type=pa.string()),
+             "n_removed": pa.array(removed, type=pa.int64())}
+        ).cast(out_schema)
+
+    return docs.map_batches(rewrite, batch_format="pyarrow",
+                            zero_copy_batch=True)

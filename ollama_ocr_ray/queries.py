@@ -834,6 +834,16 @@ def q_rank_pct(sf_dir: str):
     return grouped_percent_rank(ds, "lang", "n_chars")
 
 
+def q_strip_dup_substr(sf_dir: str):
+    """Duplicated-substring removal (dedup.strip_dup_substrings): every
+    char covered by a 25-char window shared by >= 2 docs is excised —
+    the apply half of the dup_substrings diagnostic."""
+    from .functions.dedup import strip_dup_substrings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return strip_dup_substrings(ds, k=25)
+
+
 def q_emb_gram(sf_dir: str):
     """Exact distributed Gram matrix over the quantized embedding
     column (clustering.gram_matrix): one d x d int64 partial per block
@@ -1579,8 +1589,10 @@ def queries() -> dict:
         "prep_corpus": q_prep_corpus,
         "curate_corpus": q_curate_corpus,
         "export_corpus": q_export_corpus,
-        # --- dedup / similarity ---
-        "exact_dedup": q_exact_dedup,
+        # --- dedup / similarity --- (exact_dedup joined the stable
+        # tail for r4: green since r2, its content-hash groupby plan is
+        # untouched this round, and the in-cap index_dedup gate checks
+        # against the same batch exact-dedup oracle)
         "dedup_apply": q_dedup_apply,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1588,6 +1600,7 @@ def queries() -> dict:
         "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "ngram_dedup": q_ngram_dedup,
         "line_dedup": q_line_dedup,
+        "strip_dup_substr": q_strip_dup_substr,
         "embedding_near_dup": q_embedding_near_dup,
         # doc_fingerprint promoted into the cap for r4: its Horner
         # kernel was re-chunked this round (bit-identical, but the row
@@ -1644,6 +1657,7 @@ def queries() -> dict:
         # wave — moved past the cap so r4's rewritten relational rows
         # (hash_join / exact-fold / window plans) stay recorded
         "doc_token_stats": q_doc_token_stats,
+        "exact_dedup": q_exact_dedup,
         "lang_sample": q_lang_sample,
         "source_mix": q_source_mix,
         "quality_score": q_quality_score,
@@ -2667,6 +2681,45 @@ def oracle_sql() -> dict:
         )
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
         FROM sh JOIN nd USING (s) GROUP BY doc_id
+    """
+    # strip_dup_substr: the oracle unions raw 25-char substrings where
+    # the engine unions 64-bit window hashes (same collision note as
+    # dup_substrings); coverage = every char index within 25 of a
+    # duplicated window start, rebuild = string_agg of uncovered chars
+    # in order ('' when fully covered, like the utf-32 re-decode of an
+    # empty kept array).
+    d["strip_dup_substr"] = """
+        WITH pos AS (
+          SELECT doc_id,
+                 CAST(unnest(range(1, greatest(length(text) - 23, 1)))
+                      AS BIGINT) AS i
+          FROM documents
+        ), w AS (
+          SELECT p.doc_id, p.i, substr(d.text, CAST(p.i AS INT), 25) AS s
+          FROM pos p JOIN documents d USING (doc_id)
+        ), dup AS (
+          SELECT s FROM (SELECT DISTINCT doc_id, s FROM w)
+          GROUP BY s HAVING count(*) >= 2
+        ), cover AS (
+          SELECT DISTINCT w.doc_id, w.i + off.o AS c
+          FROM w JOIN dup USING (s)
+          CROSS JOIN (SELECT unnest(range(0, 25)) AS o) off
+        ), chars AS (
+          SELECT doc_id,
+                 CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS c
+          FROM documents
+        ), kept AS (
+          SELECT ch.doc_id, ch.c,
+                 substr(d.text, CAST(ch.c AS INT), 1) AS g
+          FROM chars ch JOIN documents d USING (doc_id)
+          LEFT JOIN cover v ON v.doc_id = ch.doc_id AND v.c = ch.c
+          WHERE v.doc_id IS NULL
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.g, '' ORDER BY k.c), '') AS text,
+               CAST(length(d.text) - count(k.c) AS BIGINT) AS n_removed
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id, d.text
     """
     # chunk_docs: codepoint windows — Arrow utf8_slice_codepoints and
     # DuckDB substr both count codepoints, so text compares exactly.

@@ -117,3 +117,80 @@ def test_line_dedup_droplist_and_cap(ray_session):
         ds, delim="\n", min_len=10, min_count=99).take_all()
     _check(rows, docs, "\n", 10, 99)
     assert all(r["n_dropped"] == 0 for r in rows)
+
+
+# --- duplicated-substring removal (dedup.strip_dup_substrings) --------------
+
+def _py_strip_reference(docs, k, min_docs):
+    """Independent brute force: raw substrings, sets, per-char cover."""
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for doc_id, text in docs:
+        for i in range(max(len(text) - k + 1, 0)):
+            owners[text[i:i + k]].add(doc_id)
+    dup = {s for s, o in owners.items() if len(o) >= min_docs}
+    out = {}
+    for doc_id, text in docs:
+        covered = set()
+        for i in range(max(len(text) - k + 1, 0)):
+            if text[i:i + k] in dup:
+                covered.update(range(i, i + k))
+        kept = "".join(c for j, c in enumerate(text) if j not in covered)
+        out[doc_id] = (kept, len(covered))
+    return out
+
+
+def _strip_check(got_rows, docs, k, min_docs):
+    exp = _py_strip_reference(docs, k, min_docs)
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in got_rows}
+    assert got == exp
+
+
+def test_strip_dup_substrings_reference_parity(ray_session):
+    """Planted shared boilerplate at different positions/contexts (the
+    coverage spreads through shared context windows), overlapping
+    repeats within one doc, docs below k, and a fully-covered doc."""
+    import numpy as np
+
+    from ollama_ocr_ray.functions.dedup import strip_dup_substrings
+
+    rng = np.random.default_rng(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    boiler = "SHARED BOILERPLATE SEGMENT WELL OVER TWENTY FIVE CHARS"
+
+    def rand(n):
+        return "".join(rng.choice(list(alpha), size=n))
+
+    docs = [
+        (0, rand(40) + boiler + rand(40)),
+        (1, boiler + rand(30)),
+        (2, rand(25) + boiler + " mid " + boiler),
+        (3, rand(120)),          # unique
+        (4, "short"),            # below k
+        (5, boiler),             # fully covered
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    got = strip_dup_substrings(rd.from_arrow(t), k=25).take_all()
+    _strip_check(got, docs, 25, 2)
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[5]["text"] == ""
+    assert by_id[3]["n_removed"] == 0
+
+
+def test_strip_dup_substrings_forced_split_and_cap(ray_session):
+    """A window duplicated across 300 docs in 20 blocks exercises the
+    droplist fold's boundary routing; the broadcast cap trips loudly."""
+    import pytest as _pytest
+
+    from ollama_ocr_ray.functions.dedup import strip_dup_substrings
+
+    hot = "VIRAL FOOTER LINE REPEATED IN EVERY SINGLE DOCUMENT"
+    docs = [(i, f"payload number {i:06d} then {hot}") for i in range(300)]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    ds = rd.from_arrow(t).repartition(20)
+    _strip_check(strip_dup_substrings(ds, k=25).take_all(), docs, 25, 2)
+    with _pytest.raises(RuntimeError, match="droplist exceeds the driver"):
+        strip_dup_substrings(ds, k=25, cap=3)
