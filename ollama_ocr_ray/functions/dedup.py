@@ -1342,33 +1342,38 @@ def dup_window_droplist(docs, *, k: int = 25, min_docs: int = 2):
     """Dataset of window hashes (int64 view) for every length-``k``
     character window occurring in >= ``min_docs`` DISTINCT documents —
     the removal set behind ``strip_dup_substrings``.  Same hash kernel
-    and distinct-(h, doc_id) exchange as ``dup_substring_stats`` so the
-    two operators agree on what counts as duplicated."""
+    as ``dup_substring_stats``, but the exchange is pre-aggregated:
+    because each document lives wholly in one block and contributes its
+    DISTINCT window hashes once, the per-block partial (h, n) — n =
+    in-block docs containing h — sums across blocks to the exact
+    distinct-doc count, so the sort carries one row per distinct
+    in-block window instead of one per (window, doc) pair.  On a corpus
+    with real boilerplate that is the dominant shrink (the hot windows
+    collapse block-locally)."""
     from .folds import exact_segment_fold
     from .text import codepoints_of
 
     base = np.uint64(1099511628211)
     pows = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    raw_schema = pa.schema([("h", pa.int64()), ("doc_id", pa.int64())])
+    raw_schema = pa.schema([("h", pa.int64()), ("n", pa.int64())])
     out_schema = pa.schema([("h", pa.int64())])
 
-    def window_pairs(batch: pa.Table) -> pa.Table:
+    def window_counts(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        hs, owners = [], []
-        for did, t in zip(ids, batch.column("text").to_pylist()):
+        hs = []
+        for t in batch.column("text").to_pylist():
             cps = codepoints_of(t).astype(np.uint64)
             if len(cps) < k:
                 continue
             win = np.lib.stride_tricks.sliding_window_view(cps, k)
-            h = np.unique((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
-            hs.append(h)
-            owners.append(np.full(len(h), did, dtype=np.int64))
+            hs.append(np.unique(
+                (win * pows[None, :]).sum(axis=1, dtype=np.uint64)))
         if not hs:
             return raw_schema.empty_table()
+        uniq, cnt = np.unique(np.concatenate(hs), return_counts=True)
         return pa.table(
-            {"h": pa.array(np.concatenate(hs).view(np.int64)),
-             "doc_id": pa.array(np.concatenate(owners))}
+            {"h": pa.array(uniq.view(np.int64)),
+             "n": pa.array(cnt.astype(np.int64))}
         )
 
     def fold(t: pa.Table) -> pa.Table:
@@ -1376,17 +1381,18 @@ def dup_window_droplist(docs, *, k: int = 25, min_docs: int = 2):
             return out_schema.empty_table()
         t = t.combine_chunks()
         starts, ends = _segment_bounds(t.column("h"))
-        sizes = np.asarray(ends) - np.asarray(starts)
-        seg_h = t.column("h").to_numpy(
-            zero_copy_only=False)[np.asarray(starts)]
+        starts = np.asarray(starts)
+        sums = np.add.reduceat(
+            t.column("n").to_numpy(zero_copy_only=False), starts)
+        seg_h = t.column("h").to_numpy(zero_copy_only=False)[starts]
         return pa.table(
-            {"h": pa.array(seg_h[sizes >= min_docs], type=pa.int64())}
+            {"h": pa.array(seg_h[sums >= min_docs], type=pa.int64())}
         )
 
-    pairs = docs.map_batches(window_pairs, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    partials = docs.map_batches(window_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
     return exact_segment_fold(
-        pairs.sort("h"), key_cols=["h"], fold=fold,
+        partials.sort("h"), key_cols=["h"], fold=fold,
         raw_schema=raw_schema, out_schema=out_schema,
         op="dup_window_droplist",
     )
