@@ -219,3 +219,192 @@ def gram_matrix(embeddings):
         .groupby(["i", "j"])
         .aggregate(Sum("g", alias_name="g"))
     )
+
+
+# --- distributed Lloyd k-means on the exact integer lattice ------------------
+
+KMEANS_SCALE = GRAM_SCALE  # the coarse 2^10 lattice buys sum headroom
+
+ASSIGN_KM_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("cluster", pa.int64()), ("d2", pa.int64())]
+)
+
+
+def _km_quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(
+        mat.astype(np.float64) * float(KMEANS_SCALE) + 0.5
+    ).astype(np.int64)
+
+
+def _km_assign_block(q: np.ndarray, cmat: np.ndarray,
+                     cc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cluster index int64[n], squared distance TERMS int64[n]) for one
+    quantized block: argmin_j (c_j.c_j - 2 q.c_j) — the q.q term is
+    cluster-independent so the argmin drops it; the returned d2 adds it
+    back so callers get true squared lattice distances."""
+    cross = q @ cmat.T  # int64-exact (|q|,|c| < 2^12, d<=2^10 => <2^34)
+    score = cc[None, :] - 2 * cross
+    best = np.argmin(score, axis=1)  # first min => smallest cluster id
+    qq = np.einsum("ij,ij->i", q, q)
+    d2 = qq + score[np.arange(len(q)), best]
+    return best.astype(np.int64), d2
+
+
+def kmeans_lattice(embeddings, *, k: int = 8, iters: int = 4):
+    """Distributed Lloyd k-means over the ``embedding`` column with a
+    fully pinned EXACT integer contract, so the result is independent
+    of partitioning, block order, and arrival order:
+
+    - inputs quantize to the floor(x*2^10 + 0.5) lattice (coarse scale
+      = sum headroom: coordinate sums stay < 2^12 x n_rows, exact in
+      int64 up to ~2^51 rows);
+    - seeds are the ``k`` smallest ``vec_id`` rows (partial bottom-k,
+      no sort);
+    - assignment is an exact int64 argmin of ||q - c||^2 with ties to
+      the smallest cluster index;
+    - the update keeps each cluster's EXACT integer coordinate sums
+      and re-quantizes the mean back onto the lattice with
+      round-half-up: floor((2*sum + n) // (2*n)) — deterministic for
+      either sign; an empty cluster keeps its previous centroid.
+
+    Scale design: each iteration is ONE streaming pass; the only data
+    leaving a block is k rows of (cluster, n, sum[d], d2) partials —
+    k x blocks rows to the driver, merged exactly in integers (the
+    classic mergeable-partials shape; never a shuffle of the vectors).
+
+    Returns ``(assign_ds, centroids, objectives)``: the final
+    assignment Dataset (vec_id, cluster, d2 — exact squared LATTICE
+    distance), the final int64 centroid matrix (k x d), and the exact
+    int objective (sum of d2) after each assignment pass.
+    """
+    part_schema = pa.schema(
+        [("cluster", pa.int64()), ("n", pa.int64()),
+         ("s", pa.list_(pa.int64())), ("d2", pa.int64())]
+    )
+
+    _, cmat0 = seed_centroids(embeddings, k)
+    # seed_centroids quantizes at 2^20; recover floats exactly and
+    # re-quantize on the k-means lattice (both scales are powers of 2).
+    cmat = np.floor(
+        cmat0.astype(np.float64) * (KMEANS_SCALE / QUANT_SCALE) + 0.5
+    ).astype(np.int64)
+    if len(cmat) < k:
+        raise ValueError(
+            f"kmeans_lattice: k={k} but only {len(cmat)} distinct "
+            "seed rows available"
+        )
+
+    objectives: list[int] = []
+    for _ in range(iters):
+        cmat_b = cmat  # rebind so each closure captures THIS iteration
+        cc = np.einsum("ij,ij->i", cmat_b, cmat_b)
+
+        def partial(batch: pa.Table, _c=cmat_b, _cc=cc) -> pa.Table:
+            batch = batch.combine_chunks()
+            if len(batch) == 0:
+                return part_schema.empty_table()
+            col = batch.column("embedding").combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            q = _km_quantize(flat.reshape(len(batch), -1))
+            best, d2 = _km_assign_block(q, _c, _cc)
+            rows = {"cluster": [], "n": [], "s": [], "d2": []}
+            for j in np.unique(best):
+                m = best == j
+                rows["cluster"].append(int(j))
+                rows["n"].append(int(m.sum()))
+                rows["s"].append(q[m].sum(axis=0).tolist())
+                rows["d2"].append(int(d2[m].sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(rows["cluster"], type=pa.int64()),
+                    "n": pa.array(rows["n"], type=pa.int64()),
+                    "s": pa.array(rows["s"], type=pa.list_(pa.int64())),
+                    "d2": pa.array(rows["d2"], type=pa.int64()),
+                }
+            )
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        ns = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, cmat.shape[1]), dtype=np.int64)
+        obj = 0
+        for r in parts:
+            j = r["cluster"]
+            ns[j] += r["n"]
+            sums[j] += np.asarray(r["s"], dtype=np.int64)
+            obj += r["d2"]
+        objectives.append(int(obj))
+        new = cmat.copy()
+        live = ns > 0
+        # round-half-up mean back onto the lattice, exact in integers
+        new[live] = (2 * sums[live] + ns[live, None]) // (
+            2 * ns[live, None]
+        )
+        cmat = new
+
+    cmat_f = cmat
+    cc_f = np.einsum("ij,ij->i", cmat_f, cmat_f)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if len(batch) == 0:
+            return ASSIGN_KM_SCHEMA.empty_table()
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        q = _km_quantize(flat.reshape(len(batch), -1))
+        best, d2 = _km_assign_block(q, cmat_f, cc_f)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(best),
+                "d2": pa.array(d2),
+            }
+        )
+
+    assign_ds = embeddings.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return assign_ds, cmat, objectives
+
+
+def kmeans_lattice_reference(vec_ids, mat, *, k: int = 8,
+                             iters: int = 4):
+    """Single-process reference for the SAME pinned contract (used by
+    the ``kmeans_gate`` query and tests; deliberately a separate,
+    straight-line implementation).  Returns (assign dict vec_id ->
+    (cluster, d2), centroids, objectives)."""
+    order = np.argsort(vec_ids)[:k]
+    q = _km_quantize(np.asarray(mat, dtype=np.float64))
+    cmat = np.floor(
+        _quantize(np.asarray(mat, dtype=np.float64)[order]).astype(
+            np.float64
+        ) * (KMEANS_SCALE / QUANT_SCALE) + 0.5
+    ).astype(np.int64)
+    objectives = []
+    for _ in range(iters):
+        cc = np.einsum("ij,ij->i", cmat, cmat)
+        score = cc[None, :] - 2 * (q @ cmat.T)
+        best = np.argmin(score, axis=1)
+        qq = np.einsum("ij,ij->i", q, q)
+        d2 = qq + score[np.arange(len(q)), best]
+        objectives.append(int(d2.sum()))
+        new = cmat.copy()
+        for j in range(k):
+            m = best == j
+            n = int(m.sum())
+            if n:
+                s = q[m].sum(axis=0)
+                new[j] = (2 * s + n) // (2 * n)
+        cmat = new
+    cc = np.einsum("ij,ij->i", cmat, cmat)
+    score = cc[None, :] - 2 * (q @ cmat.T)
+    best = np.argmin(score, axis=1)
+    qq = np.einsum("ij,ij->i", q, q)
+    d2 = qq + score[np.arange(len(q)), best]
+    assign = {
+        int(v): (int(b), int(x))
+        for v, b, x in zip(vec_ids, best, d2)
+    }
+    return assign, cmat, objectives

@@ -292,6 +292,49 @@ def q_semdedup_gate(sf_dir: str):
     )
 
 
+def q_kmeans_gate(sf_dir: str):
+    """Exact-lattice Lloyd k-means gate: the distributed plan
+    (clustering.kmeans_lattice — one streaming pass per iteration,
+    only k x blocks integer partials to the driver) against the
+    independent single-process reference under the same pinned
+    integer contract.  Assignments, centroids, and per-iteration
+    objectives must be BIT-equal (the contract makes the result
+    independent of partitioning), and the objective must descend
+    monotonically: the lattice update step is the per-coordinate
+    minimizer over lattice points, so exact Lloyd descent holds.
+    The embeddings table is the bounded dimension-table side (2k rows
+    at sf0.1) — the reference read is driver-safe by construction."""
+    from .functions.clustering import (
+        kmeans_lattice,
+        kmeans_lattice_reference,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign_ds, cmat, objs = kmeans_lattice(ds, k=8, iters=4)
+    got = {r["vec_id"]: (r["cluster"], r["d2"])
+           for r in assign_ds.take_all()}
+
+    rows = ds.take_all()
+    vec_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want, cref, objs_ref = kmeans_lattice_reference(
+        vec_ids, mat, k=8, iters=4
+    )
+    return pa.table(
+        {
+            "n_vecs": pa.array([len(rows)], type=pa.int64()),
+            "assign_match": pa.array([got == want]),
+            "centroids_match": pa.array(
+                [bool(np.array_equal(cmat, cref))]
+            ),
+            "objective_monotone": pa.array(
+                [objs == objs_ref
+                 and all(a >= b for a, b in zip(objs, objs[1:]))]
+            ),
+        }
+    )
+
+
 # --- rows-only queries (not SQL-expressible) --------------------------------
 
 
@@ -1583,6 +1626,7 @@ def queries() -> dict:
         "approx_users": q_approx_users,
         "pack_stats": q_pack_stats,
         "semdedup_gate": q_semdedup_gate,
+        "kmeans_gate": q_kmeans_gate,
         # --- flagship pipelines ---
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
@@ -2797,6 +2841,16 @@ def oracle_sql() -> dict:
         SELECT CAST(300 AS BIGINT) AS n_exact_pairs,
                CAST(TRUE AS BOOLEAN) AS precision_ok,
                CAST(TRUE AS BOOLEAN) AS recall_ok
+    """
+    # kmeans_gate: iterative Lloyd is not SQL-expressible; the booleans
+    # are the contract (distributed == independent reference, exact
+    # integer descent) and n_vecs is recomputed by the oracle.
+    d["kmeans_gate"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(TRUE AS BOOLEAN) AS assign_match,
+               CAST(TRUE AS BOOLEAN) AS centroids_match,
+               CAST(TRUE AS BOOLEAN) AS objective_monotone
+        FROM embeddings
     """
     # heavy_hitters: exact top-10 by TERM frequency (vocab_top_terms is
     # by DOCUMENT frequency), same tokenization contract.

@@ -172,3 +172,80 @@ def test_gram_matrix_brute_force(ray_session, nblocks):
     iu, ju = np.triu_indices(DIM)
     exp = {(int(i), int(j)): int(g[i, j]) for i, j in zip(iu, ju)}
     assert got == exp
+
+
+# --- exact-lattice Lloyd k-means ---------------------------------------------
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_kmeans_lattice_matches_reference(ray_session, nblocks):
+    """Distributed kmeans_lattice == the independent single-process
+    reference under the same pinned integer contract, invariant to
+    block count: assignments, centroids, and per-iteration objectives
+    all bit-equal."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.clustering import (
+        kmeans_lattice,
+        kmeans_lattice_reference,
+    )
+
+    ds = rd.from_arrow(_table()).repartition(nblocks)
+    assign_ds, cmat, objs = kmeans_lattice(ds, k=3, iters=3)
+    got = {r["vec_id"]: (r["cluster"], r["d2"])
+           for r in _collect(assign_ds)}
+    want, cref, objs_ref = kmeans_lattice_reference(
+        VEC_IDS, MAT, k=3, iters=3
+    )
+    assert got == want
+    assert np.array_equal(cmat, cref)
+    assert objs == objs_ref
+
+
+def test_kmeans_objective_monotone(ray_session):
+    """Lloyd descent holds EXACTLY on the lattice: the update step's
+    round-half-up integer mean is the per-coordinate minimizer of the
+    separable quadratic over lattice points, so the objective never
+    increases across iterations."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.clustering import kmeans_lattice
+
+    _, _, objs = kmeans_lattice(rd.from_arrow(_table()), k=4, iters=5)
+    assert all(a >= b for a, b in zip(objs, objs[1:]))
+    assert all(o >= 0 for o in objs)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """A seed that captures no points (duplicate of a smaller-id seed:
+    every tie resolves away from it) keeps its centroid verbatim
+    through every iteration instead of collapsing to zero."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.clustering import (
+        KMEANS_SCALE,
+        kmeans_lattice,
+    )
+
+    mat = MAT.copy()
+    # seeds are vec_ids 0,1,2 -> rows where VEC_IDS is smallest; make
+    # seeds 0 and 2 identical AND a far outlier: every tie between the
+    # co-located pair resolves to cluster 0, cluster 0's update keeps
+    # the pair's own location (its only members ARE the pair), so
+    # cluster 2 stays empty through every iteration
+    i0 = list(VEC_IDS).index(0)
+    i2 = list(VEC_IDS).index(2)
+    mat[i0] = 50.0
+    mat[i2] = mat[i0]
+    t = pa.table(
+        {
+            "vec_id": pa.array(VEC_IDS),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    assign_ds, cmat, _ = kmeans_lattice(rd.from_arrow(t), k=3, iters=3)
+    rows = _collect(assign_ds)
+    assert not any(r["cluster"] == 2 for r in rows)
+    q2 = np.floor(mat[i2].astype(np.float64) * KMEANS_SCALE + 0.5)
+    assert np.array_equal(cmat[2], q2.astype(np.int64))
