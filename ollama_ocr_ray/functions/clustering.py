@@ -408,3 +408,139 @@ def kmeans_lattice_reference(vec_ids, mat, *, k: int = 8,
         for v, b, x in zip(vec_ids, best, d2)
     }
     return assign, cmat, objectives
+
+
+# --- PCA projection over the exact integer scatter ---------------------------
+
+PCA_SCALE = 1 << 20  # eigenvectors are unit-norm: |v| <= 1, exact headroom
+
+PROJ_SCHEMA_COLS = ("vec_id",)  # + pc0..pc{r-1} int64
+
+
+def scatter_stats(embeddings) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, coordinate sums int64[d], gram int64[d, d]) over the
+    floor(x*2^10 + 0.5) lattice — ONE streaming pass; each block emits
+    a single row {n, s, g-upper-triangle} (size independent of row
+    count), merged on the driver in exact Python/np integers."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(col[0]) if len(col) else 0
+        if dim == 0 or len(batch) == 0:
+            return pa.table(
+                {"n": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.list_(pa.int64())),
+                 "g": pa.array([], type=pa.list_(pa.int64()))}
+            )
+        q = np.floor(
+            flat.reshape(len(batch), dim).astype(np.float64)
+            * float(GRAM_SCALE) + 0.5
+        )
+        g = q.T @ q  # float64-exact (gram_matrix docstring bound)
+        iu, ju = np.triu_indices(dim)
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], type=pa.int64()),
+                "s": pa.array([q.sum(axis=0).astype(np.int64).tolist()],
+                              type=pa.list_(pa.int64())),
+                "g": pa.array([g[iu, ju].astype(np.int64).tolist()],
+                              type=pa.list_(pa.int64())),
+            }
+        )
+
+    rows = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not rows:
+        raise ValueError("scatter_stats: empty embeddings dataset")
+    dim = len(rows[0]["s"])
+    n = 0
+    s = np.zeros(dim, dtype=np.int64)
+    gu = np.zeros(dim * (dim + 1) // 2, dtype=np.int64)
+    for r in rows:
+        n += int(r["n"])
+        s += np.asarray(r["s"], dtype=np.int64)
+        gu += np.asarray(r["g"], dtype=np.int64)
+    g = np.zeros((dim, dim), dtype=np.int64)
+    iu, ju = np.triu_indices(dim)
+    g[iu, ju] = gu
+    g[ju, iu] = gu
+    return n, s, g
+
+
+def principal_axes(n: int, s: np.ndarray, g: np.ndarray,
+                   r: int) -> np.ndarray:
+    """Quantized top-``r`` eigenvectors (int64[r, d] on the 2^20
+    lattice) of the exact integer scatter ``n*G - s s^T``.  PURE
+    driver-side contract shared by the distributed plan and the
+    reference (the spec.py rule: the eigen step is a deterministic
+    function of the exact integer scatter; the INDEPENDENT halves are
+    the scatter aggregation and the projection pass).  Sign pinned:
+    each eigenvector's largest-|coordinate| entry is made positive
+    (first index on ties)."""
+    scatter = (n * g.astype(object) - np.outer(s, s).astype(object))
+    mat = scatter.astype(np.float64) / float(n)
+    w, v = np.linalg.eigh(mat)
+    order = np.argsort(w)[::-1][:r]
+    axes = v[:, order].T.copy()
+    for i in range(len(axes)):
+        j = int(np.argmax(np.abs(axes[i])))
+        if axes[i, j] < 0:
+            axes[i] = -axes[i]
+    return np.floor(
+        axes * float(PCA_SCALE) + 0.5
+    ).astype(np.int64)
+
+
+def pca_project(embeddings, *, r: int = 2):
+    """(vec_id, pc0..pc{r-1}) — the UNCENTERED exact integer
+    projection ``q @ P^T`` of every quantized vector onto the
+    quantized principal axes (centering is a constant shift per
+    component: ``(s @ P^T) / n``, returned by ``scatter_stats`` +
+    ``principal_axes`` callers who need it; keeping the distributed
+    output uncentered keeps it EXACT in int64 — |q| < 2^12 x |P| <=
+    2^20 x d <= 2^10 gives < 2^42).
+
+    Scale design: one scatter pass (one d^2 row per block), an O(d^2)
+    driver eigensolve, then ONE exchange-free projection pass with the
+    r x d axis matrix broadcast by closure."""
+    n, s, g = scatter_stats(embeddings)
+    axes = principal_axes(n, s, g, r)
+    axes_t = np.ascontiguousarray(axes.T)
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        cols = {"vec_id": pa.array(ids.astype(np.int64))}
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(col[0]) if len(col) else axes_t.shape[0]
+        q = np.floor(
+            flat.reshape(len(batch), dim).astype(np.float64)
+            * float(GRAM_SCALE) + 0.5
+        ).astype(np.int64)
+        y = q @ axes_t  # int64-exact (see docstring bound)
+        for i in range(axes_t.shape[1]):
+            cols[f"pc{i}"] = pa.array(y[:, i])
+        return pa.table(cols)
+
+    return embeddings.map_batches(project, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def pca_project_reference(vec_ids, mat, *, r: int = 2):
+    """Single-process reference: brute-force exact scatter from the
+    raw matrix, the SAME principal_axes contract, straight-line
+    projection.  Returns {vec_id: (pc0, ..)}."""
+    q = np.floor(
+        np.asarray(mat, dtype=np.float64) * float(GRAM_SCALE) + 0.5
+    ).astype(np.int64)
+    n = len(q)
+    s = q.sum(axis=0)
+    g = q.T @ q
+    axes = principal_axes(n, s, g, r)
+    y = q @ axes.T
+    return {int(v): tuple(int(x) for x in row)
+            for v, row in zip(vec_ids, y)}

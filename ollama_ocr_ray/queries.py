@@ -335,6 +335,32 @@ def q_kmeans_gate(sf_dir: str):
     )
 
 
+def q_pca_gate(sf_dir: str):
+    """PCA-projection gate (clustering.pca_project): the distributed
+    plan — one scatter pass emitting a single d^2 partial per block,
+    an O(d^2) driver eigensolve on the EXACT integer scatter, one
+    exchange-free int64 projection pass — against the single-process
+    reference (brute-force scatter + the shared principal_axes
+    contract).  Projections must be bit-equal; the embeddings table is
+    the bounded dimension side (2k rows at sf0.1)."""
+    from .functions.clustering import pca_project, pca_project_reference
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    got = {r["vec_id"]: (r["pc0"], r["pc1"])
+           for r in pca_project(ds, r=2).take_all()}
+
+    rows = ds.take_all()
+    vec_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = pca_project_reference(vec_ids, mat, r=2)
+    return pa.table(
+        {
+            "n_vecs": pa.array([len(rows)], type=pa.int64()),
+            "projection_match": pa.array([got == want]),
+        }
+    )
+
+
 # --- rows-only queries (not SQL-expressible) --------------------------------
 
 
@@ -1627,6 +1653,7 @@ def queries() -> dict:
         "pack_stats": q_pack_stats,
         "semdedup_gate": q_semdedup_gate,
         "kmeans_gate": q_kmeans_gate,
+        "pca_gate": q_pca_gate,
         # --- flagship pipelines ---
         "extract_canonical": q_extract_canonical,
         "extract_fused": q_extract_fused,
@@ -2850,6 +2877,13 @@ def oracle_sql() -> dict:
                CAST(TRUE AS BOOLEAN) AS assign_match,
                CAST(TRUE AS BOOLEAN) AS centroids_match,
                CAST(TRUE AS BOOLEAN) AS objective_monotone
+        FROM embeddings
+    """
+    # pca_gate: the eigensolve is not SQL-expressible; the boolean is
+    # the bit-equality contract, n_vecs recomputed by the oracle.
+    d["pca_gate"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(TRUE AS BOOLEAN) AS projection_match
         FROM embeddings
     """
     # heavy_hitters: exact top-10 by TERM frequency (vocab_top_terms is

@@ -249,3 +249,46 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     assert not any(r["cluster"] == 2 for r in rows)
     q2 = np.floor(mat[i2].astype(np.float64) * KMEANS_SCALE + 0.5)
     assert np.array_equal(cmat[2], q2.astype(np.int64))
+
+
+# --- PCA projection -----------------------------------------------------------
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_pca_project_matches_reference(ray_session, nblocks):
+    """Distributed pca_project == the single-process reference
+    (brute-force exact scatter + shared principal_axes contract),
+    invariant to block count."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.clustering import (
+        pca_project,
+        pca_project_reference,
+    )
+
+    ds = rd.from_arrow(_table()).repartition(nblocks)
+    got = {r["vec_id"]: (r["pc0"], r["pc1"])
+           for r in _collect(pca_project(ds, r=2))}
+    assert got == pca_project_reference(VEC_IDS, MAT, r=2)
+
+
+def test_pca_axes_sign_pinned_and_orthonormal(ray_session):
+    """principal_axes output is unit-norm on the 2^20 lattice (within
+    quantization), near-orthogonal, and the largest-|coordinate| entry
+    of each axis is positive."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.clustering import (
+        PCA_SCALE,
+        principal_axes,
+        scatter_stats,
+    )
+
+    n, s, g = scatter_stats(rd.from_arrow(_table()))
+    axes = principal_axes(n, s, g, 3)
+    f = axes.astype(np.float64) / PCA_SCALE
+    norms = np.linalg.norm(f, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+    assert abs(float(f[0] @ f[1])) < 1e-5
+    for row in axes:
+        assert row[int(np.argmax(np.abs(row)))] > 0
