@@ -1476,3 +1476,79 @@ def strip_dup_substrings(docs, *, k: int = 25, min_docs: int = 2,
 
     return docs.map_batches(rewrite, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+INTRADOC_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text", pa.string()),
+     ("n_kept", pa.int64()), ("n_dropped", pa.int64())]
+)
+
+
+def dedup_lines_within_doc(docs, *, delim: str = "\n",
+                           min_len: int = 10):
+    """Intra-document line dedup (the RefinedWeb/Dolma sibling of
+    ``remove_common_lines``): within each document, keep only the
+    FIRST occurrence of every repeated line of >= ``min_len``
+    codepoints (shorter lines are never candidates and always kept),
+    rewriting the doc from kept lines in original order.
+
+    The reference engine has no line-level rewrite at all — this is a
+    beyond-reference training-data operator (SURVEY §8).
+
+    Plan: ONE exchange-free pass.  Per block: vectorized split,
+    ``pc.dictionary_encode`` for exact line identity (no hashing, no
+    collisions), one ``np.lexsort`` over (doc, code, position) to mark
+    first occurrences, offset-rebuilt list + ``pc.binary_join``.
+    Rows are atomic in Ray Data, so a document never spans blocks and
+    the kernel needs no cross-block state.
+
+    Returns (doc_id, text, n_kept, n_dropped).
+    """
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return INTRADOC_SCHEMA.empty_table()
+        batch = batch.combine_chunks()
+        lists = pc.split_pattern(batch.column("text"), pattern=delim)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_docs = batch.num_rows
+        list_lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        seg = np.repeat(np.arange(n_docs, dtype=np.int64), list_lens)
+        keep = np.ones(len(flat), dtype=bool)
+        cand = pc.greater_equal(
+            pc.utf8_length(flat), min_len
+        ).to_numpy(zero_copy_only=False)
+        if cand.any():
+            codes = pc.dictionary_encode(flat).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.arange(len(flat), dtype=np.int64)
+            order = np.lexsort((pos, codes, seg))
+            s_seg, s_code = seg[order], codes[order]
+            first = np.ones(len(flat), dtype=bool)
+            first[1:] = (s_seg[1:] != s_seg[:-1]) | (
+                s_code[1:] != s_code[:-1])
+            repeat = np.zeros(len(flat), dtype=bool)
+            repeat[order] = ~first
+            keep = ~(repeat & cand)
+        kept_per_doc = np.bincount(seg[keep], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        new_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            flat.filter(pa.array(keep)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.binary_join(new_list, delim),
+                "n_kept": pa.array(kept_per_doc.astype(np.int64)),
+                "n_dropped": pa.array(
+                    (list_lens - kept_per_doc).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(rewrite, batch_format="pyarrow",
+                            zero_copy_batch=True)

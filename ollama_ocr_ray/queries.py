@@ -952,6 +952,18 @@ def q_line_dedup(sf_dir: str):
         ds, delim=" ", min_len=5, min_count=(9 * n_docs + 4) // 5)
 
 
+def q_intradoc_dedup(sf_dir: str):
+    """Intra-document line dedup (dedup.dedup_lines_within_doc): keep
+    only the first occurrence of every repeated >=5-char line WITHIN
+    each doc — one exchange-free pass (dictionary-encode + lexsort
+    first-occurrence kernel).  Word granularity here for the same
+    reason as line_dedup: the synthetic docs have no newlines."""
+    from .functions.dedup import dedup_lines_within_doc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_lines_within_doc(ds, delim=" ", min_len=5)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Exact dedup keeping the highest-quality copy per duplicate group
     (dedup.py ``dedup_keep_best`` = content hash + cap_per_group(k=1))."""
@@ -1671,6 +1683,7 @@ def queries() -> dict:
         "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "ngram_dedup": q_ngram_dedup,
         "line_dedup": q_line_dedup,
+        "intradoc_dedup": q_intradoc_dedup,
         "strip_dup_substr": q_strip_dup_substr,
         "embedding_near_dup": q_embedding_near_dup,
         # doc_fingerprint promoted into the cap for r4: its Horner
@@ -1838,6 +1851,29 @@ def _base_oracles() -> dict:
                      len(string_split(d.text, ' ')) AS n_all
               FROM documents d CROSS JOIN drops dr
             )
+        """,
+        "intradoc_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS w,
+                     unnest(generate_series(1,
+                         len(string_split(text, ' ')))) AS pos
+              FROM documents
+            ), marked AS (
+              SELECT doc_id, w, pos,
+                     (length(w) < 5 OR
+                      row_number() OVER (PARTITION BY doc_id, w
+                                         ORDER BY pos) = 1) AS keep
+              FROM lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN w END,
+                       ' ' ORDER BY pos), '') AS text,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT)
+                     AS n_kept,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                     AS n_dropped
+            FROM marked GROUP BY doc_id
         """,
         "tfidf_scores": f"""
             WITH tok AS (

@@ -194,3 +194,78 @@ def test_strip_dup_substrings_forced_split_and_cap(ray_session):
     _strip_check(strip_dup_substrings(ds, k=25).take_all(), docs, 25, 2)
     with _pytest.raises(RuntimeError, match="droplist exceeds the driver"):
         strip_dup_substrings(ds, k=25, cap=3)
+
+
+# --- intra-document line dedup ------------------------------------------------
+
+
+def _py_intradoc(docs, delim, min_len):
+    out = {}
+    for doc_id, text in docs:
+        seen = set()
+        kept = []
+        lines = text.split(delim)
+        for line in lines:
+            if len(line) >= min_len:
+                if line in seen:
+                    continue
+                seen.add(line)
+            kept.append(line)
+        out[doc_id] = (delim.join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+INTRA_DOCS = [
+    (0, "alpha beta alpha gamma beta"),          # word repeats
+    (1, "unique lines only here"),
+    (2, ""),                                      # empty text
+    (3, "dup dup dup dup"),                       # all-repeat short words
+    (4, "longerline longerline tail longerline"),
+    (5, "x y x y x y"),                           # short: always kept
+]
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+@pytest.mark.parametrize("min_len", [1, 5])
+def test_intradoc_dedup_brute_force(ray_session, nblocks, min_len):
+    from ollama_ocr_ray.functions.dedup import dedup_lines_within_doc
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in INTRA_DOCS], type=pa.int64()),
+            "text": pa.array([t for _, t in INTRA_DOCS]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_lines_within_doc(
+            ds, delim=" ", min_len=min_len
+        ).take_all()
+    }
+    assert got == _py_intradoc(INTRA_DOCS, " ", min_len)
+
+
+def test_intradoc_dedup_newline_delim(ray_session):
+    from ollama_ocr_ray.functions.dedup import dedup_lines_within_doc
+
+    docs = [
+        (0, "cookie banner text\nreal content one\ncookie banner text\n"
+            "real content two"),
+        (1, "a\nb\na"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+        }
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_lines_within_doc(
+            rd.from_arrow(t), delim="\n", min_len=10
+        ).take_all()
+    }
+    assert got == _py_intradoc(docs, "\n", 10)
+    assert got[0][0] == ("cookie banner text\nreal content one\n"
+                         "real content two")
