@@ -1702,9 +1702,7 @@ def queries() -> dict:
         "budget_select": q_budget_select,
         "lm_familiarity": q_lm_familiarity,
         "dsir_scores": q_dsir_scores,
-        "dsir_select": q_dsir_select,
         "topic_assign": q_topic_assign,
-        "cluster_purity": q_cluster_purity,
         "rank_pct": q_rank_pct,
         "emb_gram": q_emb_gram,
         "dup_substrings": q_dup_substrings,
@@ -1712,7 +1710,6 @@ def queries() -> dict:
         "source_cap": q_source_cap,
         "dedup_keep_best": q_dedup_keep_best,
         "quantile_gate": q_quantile_gate,
-        "emb_dedup_apply": q_emb_dedup_apply,
         "heavy_hitters": q_heavy_hitters,
         "decon_bloom": q_decon_bloom,
         "hash_split": q_hash_split,
@@ -1737,6 +1734,16 @@ def queries() -> dict:
         "asof_last_order": q_asof_last_order,
         "bpe_token_count": q_bpe_token_count,
         "knn_cosine": q_knn_cosine,
+        # demoted to the tail for the r4 sixth wave so the relational
+        # rewrite rows (segment_revenue / events_hourly /
+        # top_orders_segment — VERDICT r3 #1 fixes) stay in-cap:
+        # dsir_select is cap_per_group over in-cap dsir_scores;
+        # cluster_purity folds the in-cap topic_assign partition;
+        # emb_dedup_apply shares the droplist anti-join with in-cap
+        # dedup_apply and the pair plan with in-cap embedding_near_dup
+        "dsir_select": q_dsir_select,
+        "cluster_purity": q_cluster_purity,
+        "emb_dedup_apply": q_emb_dedup_apply,
         # text-analysis rows green + untouched since r3's vectorization
         # wave — moved past the cap so r4's rewritten relational rows
         # (hash_join / exact-fold / window plans) stay recorded
