@@ -231,3 +231,52 @@ def hash_split(docs, *, splits=(("train", 9000), ("val", 500),
 
     return docs.map_batches(assign, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def epoch_shuffle(docs, *, seed: int, n_shards: int,
+                  id_col: str = "doc_id"):
+    """Deterministic seeded global shuffle for a training epoch:
+    (doc_id, shard, sample_key, pos) where ``shard = sample_keys(id,
+    seed) % n_shards`` and ``pos`` is the doc's rank within its shard
+    ordered by (sample_key, doc_id) — the reader streams shard files
+    in pos order and gets the same shuffled curriculum on ANY cluster
+    shape, any epoch replay.
+
+    Plan: the keying pass is exchange-free (same ``sample_keys``
+    contract as ``hash_split`` — affine + square mix mod 2^61-1,
+    HUGEINT-recomputable in SQL); the ONLY exchange is the
+    n_shards-way groupby, and each shard orders locally in one task.
+    Size ``n_shards`` so corpus/n_shards fits a worker — the same
+    contract as packed-shard export (``state/runner.py`` --job
+    export); at 100 TB that means thousands of shards, which is also
+    what the training loader wants.
+    """
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys = sample_keys(ids, seed)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "shard": pa.array(
+                    (keys % np.uint64(n_shards)).astype(np.int64)),
+                "sample_key": pa.array(keys.astype(np.int64)),
+            }
+        )
+
+    def order_shard(group: pa.Table) -> pa.Table:
+        group = group.combine_chunks()
+        keys = group.column("sample_key").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        rank = np.lexsort((ids, keys))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[rank] = np.arange(len(ids), dtype=np.int64)
+        return group.append_column("pos", pa.array(pos))
+
+    return (
+        docs.map_batches(key_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(order_shard, batch_format="pyarrow")
+    )

@@ -964,6 +964,17 @@ def q_intradoc_dedup(sf_dir: str):
     return dedup_lines_within_doc(ds, delim=" ", min_len=5)
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic seeded epoch shuffle (sampling.epoch_shuffle):
+    shard = mixed-hash mod 16, pos = rank within shard by (key, id) —
+    the reproducible training-order primitive.  Keying is
+    exchange-free; the only exchange is the 16-way groupby."""
+    from .functions.sampling import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle(ds, seed=4242, n_shards=16)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Exact dedup keeping the highest-quality copy per duplicate group
     (dedup.py ``dedup_keep_best`` = content hash + cap_per_group(k=1))."""
@@ -1685,7 +1696,7 @@ def queries() -> dict:
         "line_dedup": q_line_dedup,
         "intradoc_dedup": q_intradoc_dedup,
         "strip_dup_substr": q_strip_dup_substr,
-        "embedding_near_dup": q_embedding_near_dup,
+        "epoch_shuffle": q_epoch_shuffle,
         # doc_fingerprint promoted into the cap for r4: its Horner
         # kernel was re-chunked this round (bit-identical, but the row
         # should be recorded); knn_cosine moved to the stable tail —
@@ -1744,6 +1755,10 @@ def queries() -> dict:
         "dsir_select": q_dsir_select,
         "cluster_purity": q_cluster_purity,
         "emb_dedup_apply": q_emb_dedup_apply,
+        # embedding_near_dup: r2/r3-recorded green, plan untouched in
+        # r4, and semdedup_gate runs embedding_near_dup_blocked as its
+        # in-cap exact baseline every round
+        "embedding_near_dup": q_embedding_near_dup,
         # text-analysis rows green + untouched since r3's vectorization
         # wave — moved past the cap so r4's rewritten relational rows
         # (hash_join / exact-fold / window plans) stay recorded
@@ -1996,6 +2011,31 @@ def _base_oracles() -> dict:
         """,
         "docs_sample_mod": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
+        """,
+        # seeded epoch shuffle: the same sample_keys HUGEINT chain
+        # (seed 4242), shard = key % 16, pos = 0-based rank within
+        # shard by (key, doc_id)
+        "epoch_shuffle": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     CAST((h1*h1 + h1) % 2305843009213693951 AS BIGINT)
+                       AS sample_key
+              FROM (
+                SELECT doc_id,
+                       (CAST(doc_id + 1 AS HUGEINT)
+                          * 1234567890123456789 + 4242)
+                         % 2305843009213693951 AS h1
+                FROM documents
+              )
+            )
+            SELECT doc_id,
+                   CAST(sample_key % 16 AS BIGINT) AS shard,
+                   sample_key,
+                   CAST(row_number() OVER (
+                       PARTITION BY sample_key % 16
+                       ORDER BY sample_key, doc_id) - 1 AS BIGINT)
+                     AS pos
+            FROM keyed
         """,
         # seeded stratified sample: the hash chain is the exact HUGEINT
         # recomputation of sampling.sample_keys (affine + square mix

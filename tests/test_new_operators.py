@@ -1890,3 +1890,56 @@ def test_read_documents_jsonl_source(ray_session, tmp_path):
         f.write(json.dumps(rows[0]) + "\n")
     with pytest.raises(ValueError, match="mixed container"):
         read_documents(str(mixed))
+
+
+def test_epoch_shuffle_brute_force_and_invariance(ray_session):
+    """epoch_shuffle == pure-Python reference (sample_keys + per-shard
+    rank by (key, id)): exhaustive, positions contiguous from 0 within
+    every shard, invariant to input partitioning."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sampling import epoch_shuffle, sample_keys
+
+    ids = np.arange(5_000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    keys = sample_keys(ids, 4242)
+    by_shard = {}
+    for i, k in zip(ids.tolist(), keys.tolist()):
+        by_shard.setdefault(int(k % 16), []).append((int(k), i))
+    want = {}
+    for s, rows in by_shard.items():
+        for pos, (k, i) in enumerate(sorted(rows)):
+            want[i] = (s, k, pos)
+
+    def run(n_parts):
+        ds = rd.from_arrow(t).repartition(n_parts)
+        return {
+            r["doc_id"]: (r["shard"], r["sample_key"], r["pos"])
+            for r in _collect(
+                epoch_shuffle(ds, seed=4242, n_shards=16)).to_pylist()
+        }
+
+    a3, a11 = run(3), run(11)
+    assert a3 == a11 == want
+    # shard sizes near-uniform for the mixed hash
+    from collections import Counter
+
+    sizes = Counter(s for s, _, _ in a3.values())
+    assert len(sizes) == 16 and max(sizes.values()) < 2 * min(sizes.values())
+
+
+def test_epoch_shuffle_seed_changes_order(ray_session):
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sampling import epoch_shuffle
+
+    t = pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64))})
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in _collect(
+             epoch_shuffle(rd.from_arrow(t), seed=1, n_shards=8)
+         ).to_pylist()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in _collect(
+             epoch_shuffle(rd.from_arrow(t), seed=2, n_shards=8)
+         ).to_pylist()}
+    assert a != b
