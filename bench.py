@@ -193,13 +193,20 @@ def scaling_child(num_cpus: int, corpus: str, burn: int, latency_ms: float,
     ray.shutdown()
 
 
-def run_scaling(plan: str = "auto") -> None:
+def run_scaling(plan: str = "auto", legs: tuple = (8, 32)) -> None:
+    """Two fresh-process runs at ``legs`` CPUs (must be N and 4N).
+    Default 8/32; ``--scaling-cpus 4 16`` is the contention-robust
+    pair on a shared 32-core host (both legs leave headroom for
+    external tenants, so the ratio measures the CODE's scaling)."""
+    n, n4 = legs
+    if n4 != 4 * n:
+        raise SystemExit(f"--scaling-cpus must be N and 4N, got {legs}")
     corpus = materialize_scaling_corpus(SCALE_DOCS)
     results = {}
     child_env = dict(os.environ)
     # prestart the worker pool at init (cuts actor-fleet spin-up)
     child_env["RAY_enable_worker_prestart"] = "1"
-    for cpus in (8, 32):
+    for cpus in (n, n4):
         proc = subprocess.run(
             [
                 sys.executable,
@@ -226,11 +233,11 @@ def run_scaling(plan: str = "auto") -> None:
             raise SystemExit(f"scaling child (cpus={cpus}) failed")
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["docs_per_sec"]
-    t32 = results[32]["docs_per_sec"]
+    t8 = results[n]["docs_per_sec"]
+    t32 = results[n4]["docs_per_sec"]
     eff = round(t32 / (4.0 * t8), 3)
-    s8 = results[8]["steady_docs_per_sec"]
-    s32 = results[32]["steady_docs_per_sec"]
+    s8 = results[n]["steady_docs_per_sec"]
+    s32 = results[n4]["steady_docs_per_sec"]
     print(
         json.dumps(
             {
@@ -239,15 +246,15 @@ def run_scaling(plan: str = "auto") -> None:
                 "unit": "ratio",
                 "steady_state_efficiency": round(s32 / (4.0 * s8), 3),
                 "docs": SCALE_DOCS,
-                "plan": results[32]["plan"],
+                "plan": results[n4]["plan"],
                 "ocr_burn": SCALE_BURN,
                 "ocr_latency_ms": SCALE_LATENCY_MS,
-                "docs_per_sec_8cpu": t8,
-                "docs_per_sec_32cpu": t32,
-                "steady_docs_per_sec_8cpu": s8,
-                "steady_docs_per_sec_32cpu": s32,
-                "sec_8cpu": results[8]["sec"],
-                "sec_32cpu": results[32]["sec"],
+                f"docs_per_sec_{n}cpu": t8,
+                f"docs_per_sec_{n4}cpu": t32,
+                f"steady_docs_per_sec_{n}cpu": s8,
+                f"steady_docs_per_sec_{n4}cpu": s32,
+                f"sec_{n}cpu": results[n]["sec"],
+                f"sec_{n4}cpu": results[n4]["sec"],
             }
         )
     )
@@ -264,13 +271,15 @@ def main() -> None:
     ap.add_argument("--plan", default="auto",
                     choices=["auto", "fused", "canonical"])
     ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--scaling-cpus", type=int, nargs=2,
+                    default=[8, 32], metavar=("N", "4N"))
     args = ap.parse_args()
 
     if args.scaling_child:
         scaling_child(args.cpus, args.corpus, args.burn, args.latency_ms,
                       args.plan)
     elif args.scaling:
-        run_scaling(args.plan)
+        run_scaling(args.plan, tuple(args.scaling_cpus))
     else:
         run_queries(args.sf_dir, args.cpus)
 
