@@ -91,11 +91,12 @@ def train_bigram_lm(docs, *, vocab_size: int = 4096) -> pa.Array:
     return pa.array([r["bigram"] for r in rows], type=pa.string())
 
 
-def lm_familiarity(docs, *, vocab_size: int = 4096):
-    """(doc_id, n_bigrams, n_seen, familiarity_bp): per-document
-    coverage by the corpus-trained top-``vocab_size`` bigram model.
-    ``familiarity_bp = (10000 * n_seen) // n_bigrams`` (0 when the
-    document has no bigram)."""
+def lm_familiarity(docs, *, vocab_size: int = 4096,
+                   keep_cols: tuple = ()):
+    """(doc_id, n_bigrams, n_seen, familiarity_bp[, keep_cols...]):
+    per-document coverage by the corpus-trained top-``vocab_size``
+    bigram model.  ``familiarity_bp = (10000 * n_seen) // n_bigrams``
+    (0 when the document has no bigram)."""
     model = train_bigram_lm(docs, vocab_size=vocab_size)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -115,7 +116,7 @@ def lm_familiarity(docs, *, vocab_size: int = 4096):
         bp = np.zeros(n, dtype=np.int64)
         nz = total > 0
         bp[nz] = (10_000 * seen[nz]) // total[nz]
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_bigrams": pa.array(total),
@@ -123,5 +124,43 @@ def lm_familiarity(docs, *, vocab_size: int = 4096):
                 "familiarity_bp": pa.array(bp),
             }
         ).cast(LM_SCHEMA)
+        for c in keep_cols:
+            out = out.append_column(c, batch.column(c))
+        return out
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_buckets(docs, *, vocab_size: int = 4096):
+    """(doc_id, lang, familiarity_bp, pct_bp, bucket): CCNet-style
+    head/middle/tail quality bucketing (Wenzek et al. 2020 route
+    documents by per-language perplexity tertiles; here the quality
+    signal is the repo's exact bigram-LM coverage, higher = better).
+    ``pct_bp`` is the EXACT per-lang percent rank (strictly-below *
+    10000 // group size) and the buckets are pinned integer tertiles:
+    head >= 6667 bp, middle >= 3333 bp, else tail.
+
+    Plan: the LM's two passes (bounded-broadcast train + streaming
+    score with ``lang`` carried through), ONE (lang x distinct-score)
+    histogram exchange (``sketches.grouped_percent_rank`` — no sort),
+    then an exchange-free label pass.  At 100 TB the histogram is
+    |langs| x 10001 rows at most (familiarity_bp is bounded discrete
+    by construction)."""
+    from .sketches import grouped_percent_rank
+
+    scored = lm_familiarity(docs, vocab_size=vocab_size,
+                            keep_cols=("lang",))
+    ranked = grouped_percent_rank(
+        scored.select_columns(["doc_id", "lang", "familiarity_bp"]),
+        "lang", "familiarity_bp")
+
+    def label(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        bp = batch.column("pct_bp").to_numpy(zero_copy_only=False)
+        bucket = np.where(
+            bp >= 6667, "head", np.where(bp >= 3333, "middle", "tail"))
+        return batch.append_column(
+            "bucket", pa.array(bucket, type=pa.string()))
+
+    return ranked.map_batches(label, batch_format="pyarrow",
+                              zero_copy_batch=True)

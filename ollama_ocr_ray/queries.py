@@ -849,6 +849,17 @@ def q_lm_familiarity(sf_dir: str):
     return lm_familiarity(ds, vocab_size=256)
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality bucketing (lm.py
+    ccnet_buckets): per-lang EXACT percent rank of the bigram-LM
+    familiarity score, pinned integer tertiles.  Two LM passes + one
+    bounded histogram exchange + an exchange-free label pass."""
+    from .functions.lm import ccnet_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ccnet_buckets(ds, vocab_size=256)
+
+
 def q_dsir_scores(sf_dir: str):
     """DSIR-style hashed n-gram importance scores (functions/dsir.py):
     target = lang='en' docs, raw = the whole corpus; exact-integer
@@ -1712,9 +1723,9 @@ def queries() -> dict:
         # rows all recorded)
         "budget_select": q_budget_select,
         "lm_familiarity": q_lm_familiarity,
+        "ccnet_buckets": q_ccnet_buckets,
         "dsir_scores": q_dsir_scores,
         "topic_assign": q_topic_assign,
-        "rank_pct": q_rank_pct,
         "emb_gram": q_emb_gram,
         "dup_substrings": q_dup_substrings,
         "chunk_docs": q_chunk_docs,
@@ -1759,6 +1770,10 @@ def queries() -> dict:
         # r4, and semdedup_gate runs embedding_near_dup_blocked as its
         # in-cap exact baseline every round
         "embedding_near_dup": q_embedding_near_dup,
+        # rank_pct: its exact rank rule (strictly-below * 10000 // n)
+        # is oracle-checked end-to-end by the in-cap ccnet_buckets row
+        # (same grouped_percent_rank primitive, composed)
+        "rank_pct": q_rank_pct,
         # text-analysis rows green + untouched since r3's vectorization
         # wave — moved past the cap so r4's rewritten relational rows
         # (hash_join / exact-fold / window plans) stay recorded
@@ -2672,6 +2687,47 @@ def oracle_sql() -> dict:
                     THEN (10000 * sc.n_seen) // sc.n_bigrams
                     ELSE 0 END AS BIGINT) AS familiarity_bp
         FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+    # ccnet_buckets: the lm_familiarity chain + the exact percent-rank
+    # window ((rank()-1) * 10000 // count) + pinned integer tertiles
+    d["ccnet_buckets"] = f"""
+        WITH tok AS (
+          SELECT doc_id, {_LTOKS_SQL} AS t FROM documents
+        ), bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS g
+          FROM tok WHERE len(t) >= 2
+        ), lm AS (
+          SELECT g FROM (
+            SELECT g, count(*) AS n FROM bg GROUP BY g
+            ORDER BY n DESC, g LIMIT 256
+          )
+        ), sc AS (
+          SELECT b.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(lm.g) AS BIGINT) AS n_seen
+          FROM bg b LEFT JOIN lm ON lm.g = b.g
+          GROUP BY b.doc_id
+        ), fam AS (
+          SELECT d.doc_id, d.lang,
+                 CAST(CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+                      THEN (10000 * sc.n_seen) // sc.n_bigrams
+                      ELSE 0 END AS BIGINT) AS familiarity_bp
+          FROM documents d LEFT JOIN sc USING (doc_id)
+        ), ranked AS (
+          SELECT doc_id, lang, familiarity_bp,
+                 CAST((rank() OVER (PARTITION BY lang
+                                    ORDER BY familiarity_bp) - 1)
+                      * 10000
+                      // count(*) OVER (PARTITION BY lang)
+                      AS BIGINT) AS pct_bp
+          FROM fam
+        )
+        SELECT doc_id, lang, familiarity_bp, pct_bp,
+               CASE WHEN pct_bp >= 6667 THEN 'head'
+                    WHEN pct_bp >= 3333 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
     """
     # dsir_scores: the 60-bit token-hash chain re-derived in HUGEINT
     # (the same chain the simhash oracle proves), folded mod 8192
