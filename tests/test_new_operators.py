@@ -1943,3 +1943,48 @@ def test_epoch_shuffle_seed_changes_order(ray_session):
              epoch_shuffle(rd.from_arrow(t), seed=2, n_shards=8)
          ).to_pylist()}
     assert a != b
+
+
+def test_ccnet_buckets_tertiles_and_edges(ray_session):
+    """Bucket thresholds are pinned integer tertiles of the exact
+    percent rank; a single-doc lang ranks 0 (tail); docs without
+    bigrams score 0."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.lm import ccnet_buckets
+
+    # model = top-1 bigram ('aa bb' dominates); en docs cover it at
+    # fractions 1, 1/2, 0, 2/3, 0, 1/3 -> distinct familiarity ranks.
+    texts = [
+        "aa bb",
+        "aa bb cc",
+        "cc dd",
+        "aa bb aa bb",
+        "cc dd ee",
+        "aa bb cc dd",
+        "solo",                        # lang xx, no bigram
+    ]
+    langs = ["en"] * 6 + ["xx"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(7), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    rows = {r["doc_id"]: r
+            for r in _collect(
+                ccnet_buckets(rd.from_arrow(t), vocab_size=1)
+            ).to_pylist()}
+    assert rows[6]["familiarity_bp"] == 0
+    assert rows[6]["pct_bp"] == 0 and rows[6]["bucket"] == "tail"
+    # en group: rank by familiarity; the lowest doc is tail, the
+    # highest head; pct_bp = strictly-below * 10000 // 6
+    fam = {i: rows[i]["familiarity_bp"] for i in range(6)}
+    for i in range(6):
+        below = sum(1 for j in range(6) if fam[j] < fam[i])
+        assert rows[i]["pct_bp"] == below * 10_000 // 6
+        want = ("head" if rows[i]["pct_bp"] >= 6667
+                else "middle" if rows[i]["pct_bp"] >= 3333 else "tail")
+        assert rows[i]["bucket"] == want
+    assert {rows[i]["bucket"] for i in range(6)} >= {"head", "tail"}
