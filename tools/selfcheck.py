@@ -2,7 +2,10 @@
 compare against its oracle_sql() via DuckDB (row count, column names,
 sorted-value equality), mirroring what the graft driver does.
 
-Usage: python tools/selfcheck.py [sf_dir]
+Usage: python tools/selfcheck.py [sf_dir] [query_name ...]
+
+Extra positional names restrict the run to those queries (spot-checks
+while iterating); with none given every registry entry runs.
 """
 
 from __future__ import annotations
@@ -61,6 +64,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()
