@@ -767,3 +767,44 @@ def scrub_pii_batch(batch: pa.Table) -> pa.Table:
             "clean_text": t2,
         }
     )
+
+
+# --- blocklist token filter (C4/Dolma-style taboo-word rule) -----------------
+
+# Corpus-tuned demo blocklist; production pipelines ship their own.
+# Part of the engine<->oracle contract (the SQL literal lists the same
+# words), like STOPWORDS above.
+BLOCKLIST = ("slow", "spark", "legacy")
+
+
+def blocklist_stats_batch(batch: pa.Table, *,
+                          blocklist: tuple = BLOCKLIST,
+                          max_bp: int = 900) -> pa.Table:
+    """Per-document blocklist-token signals and the keep decision —
+    the C4 "bad words" rule generalized to Dolma's fractional form:
+    a doc survives iff flagged tokens are <= ``max_bp`` basis points
+    of its (lowercased, whitespace) tokens.  The fraction is EXACT
+    integer arithmetic (``n*10000 // max(n_tokens,1)``) so the DuckDB
+    oracle hash-matches at the threshold boundary.  Pure per-block
+    Arrow kernels — no exchange, no Python row loop.
+    """
+    batch = batch.combine_chunks()
+    text = pc.utf8_lower(batch.column("text"))
+    toks = pc.utf8_split_whitespace(text)
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_tokens = _segment_count(toks, nonempty, len(batch)).astype(np.int64)
+    flagged = pc.is_in(
+        flat, value_set=pa.array(list(blocklist))
+    ).to_numpy(zero_copy_only=False)
+    n_flagged = _segment_count(toks, flagged, len(batch)).astype(np.int64)
+    flag_bp = (n_flagged * 10000) // np.maximum(n_tokens, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_flagged": pa.array(n_flagged, type=pa.int64()),
+            "flag_bp": pa.array(flag_bp, type=pa.int64()),
+            "keep": pa.array(flag_bp <= max_bp),
+        }
+    )

@@ -1542,6 +1542,16 @@ def q_scrub_pii(sf_dir: str):
     return ds.map_batches(ftext.scrub_pii_batch, batch_format="pyarrow")
 
 
+def q_blocklist_filter(sf_dir: str):
+    """Blocklist-token filter (C4 "bad words" generalized to Dolma's
+    fractional rule): per-doc flagged-token count, exact-integer
+    basis-point fraction, and the keep decision at 900 bp.  Pure
+    per-block Arrow kernels — no exchange."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.blocklist_stats_batch,
+                          batch_format="pyarrow")
+
+
 def q_order_priority(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
     return relational.order_priority_counts(ds, "1994-01-01", "1997-01-01")
@@ -1738,6 +1748,8 @@ def queries() -> dict:
         "value_quantiles": q_value_quantiles,
         "index_dedup": q_index_dedup,
         "neardup_ingest": q_neardup_ingest,
+        # --- wave 7 ---
+        "blocklist_filter": q_blocklist_filter,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -2184,6 +2196,27 @@ def _base_oracles() -> dict:
                    regexp_replace(t, '\+?[0-9][0-9 ()-]{6,}[0-9]',
                                   '<PHONE>', 'g') AS clean_text
             FROM t1
+        """,
+        # blocklist filter: same lowercase whitespace tokenization as
+        # the engine (text.BLOCKLIST literal repeated here), fraction
+        # is exact integer bp on both sides
+        "blocklist_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, {_LTOKS_SQL} AS t FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(t,
+                       x -> x IN ('slow','spark','legacy'))) AS BIGINT)
+                       AS n_flagged
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, n_flagged,
+                   CAST((n_flagged * 10000) // greatest(n_tokens, 1)
+                        AS BIGINT) AS flag_bp,
+                   (n_flagged * 10000) // greatest(n_tokens, 1) <= 900
+                     AS keep
+            FROM s
         """,
         # top word-2-gram per doc; ties broken (count DESC, gram ASC)
         # exactly as the engine's lexsort; docs with < 2 tokens emit no

@@ -1988,3 +1988,30 @@ def test_ccnet_buckets_tertiles_and_edges(ray_session):
                 else "middle" if rows[i]["pct_bp"] >= 3333 else "tail")
         assert rows[i]["bucket"] == want
     assert {rows[i]["bucket"] for i in range(6)} >= {"head", "tail"}
+
+
+def test_blocklist_stats_boundary():
+    """Exact-integer bp rule: a doc at exactly max_bp keeps, one bp
+    over drops; empty docs keep (0 flagged of 0 tokens)."""
+    import pyarrow as pa
+
+    from ollama_ocr_ray.functions.text import blocklist_stats_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([
+                # 1 flagged of 10 tokens -> 1000 bp
+                "slow a b c d e f g h i",
+                # 0 flagged of 3 tokens -> 0 bp; case-folded match
+                "fast quick rapid",
+                # SLOW upper-cases to a hit: 1 of 2 -> 5000 bp
+                "SLOW down",
+                "",
+            ]),
+        }
+    )
+    out = blocklist_stats_batch(batch, max_bp=1000).to_pylist()
+    assert [r["flag_bp"] for r in out] == [1000, 0, 5000, 0]
+    assert [r["keep"] for r in out] == [True, True, False, True]
+    assert out[0]["n_tokens"] == 10 and out[0]["n_flagged"] == 1
