@@ -280,3 +280,54 @@ def epoch_shuffle(docs, *, seed: int, n_shards: int,
         .groupby("shard")
         .map_groups(order_shard, batch_format="pyarrow")
     )
+
+
+def temperature_rates(docs, *, stratum_col: str = "lang",
+                      floor_bp: int = 1) -> dict:
+    """Per-stratum sampling rates for temperature mixing at alpha=0.5
+    (the mC4/XLM-R multilingual rebalance: sample stratum s with
+    probability proportional to ``count_s**(alpha-1)``, so the kept
+    corpus approaches ``count_s**alpha``).  The smallest stratum keeps
+    everything (10000 bp); a stratum k-times larger keeps
+    ``floor(10000 * sqrt(1/k))`` bp.
+
+    alpha is PINNED at 0.5 because IEEE-754 requires ``sqrt`` (and
+    division) to be exactly rounded — numpy/Python and DuckDB produce
+    bit-identical doubles, so the basis-point cut is reproducible in
+    the SQL oracle.  A general ``pow(x, alpha)`` carries no such
+    guarantee across engines; generalizing needs a rational-exponent
+    integer scheme.
+
+    The count pass ships one (stratum, n) row per block — strata are a
+    bounded dimension (languages/sources), so the driver combine is
+    O(strata x blocks).  Compose with ``mix_by_rate`` for the
+    exchange-free apply.
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(stratum_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals, counts = np.unique(
+            np.asarray(col.to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.table(
+            {
+                stratum_col: pa.array([str(v) for v in vals]),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    totals: dict = {}
+    for row in docs.select_columns([stratum_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all():
+        totals[row[stratum_col]] = totals.get(row[stratum_col], 0) + row["n"]
+    if not totals:
+        return {}
+    cmin = min(totals.values())
+    return {
+        s: max(floor_bp, int(math.floor(10000.0 * math.sqrt(cmin / c))))
+        for s, c in totals.items()
+    }

@@ -793,6 +793,19 @@ def q_source_mix(sf_dir: str):
     )
 
 
+def q_temp_mix(sf_dir: str):
+    """Temperature-based multilingual rebalance (alpha=0.5, mC4/XLM-R
+    style): per-language sampling rates from one bounded count pass
+    (smallest language keeps 100%), then the exchange-free exact-hash
+    mix.  sqrt/division are IEEE-exactly-rounded, so the basis-point
+    rates — and therefore the kept set — reproduce bit-for-bit in the
+    SQL oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    rates = sampling.temperature_rates(ds, stratum_col="lang")
+    return sampling.mix_by_rate(ds, rates_bp=rates, default_bp=10000,
+                                seed=1618, source_col="lang")
+
+
 def q_budget_select(sf_dir: str):
     """Token-budget data selection: keep the highest-quality docs
     until a 12k-token budget fills (quality DESC, doc_id tiebreak,
@@ -1750,6 +1763,7 @@ def queries() -> dict:
         "neardup_ingest": q_neardup_ingest,
         # --- wave 7 ---
         "blocklist_filter": q_blocklist_filter,
+        "temp_mix": q_temp_mix,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -2196,6 +2210,34 @@ def _base_oracles() -> dict:
                    regexp_replace(t, '\+?[0-9][0-9 ()-]{6,}[0-9]',
                                   '<PHONE>', 'g') AS clean_text
             FROM t1
+        """,
+        # temperature mixing: counts -> alpha=0.5 rates (IEEE-exact
+        # sqrt/division, floored to bp) -> the same exact hash chain as
+        # source_mix (sampling.SAMPLE_MULT, seed 1618)
+        "temp_mix": """
+            WITH cnt AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY lang
+            ), mn AS (SELECT min(c) AS cmin FROM cnt),
+            rates AS (
+              SELECT lang,
+                     greatest(1, CAST(floor(10000.0 *
+                       sqrt(CAST(cmin AS DOUBLE) / c)) AS BIGINT)) AS bp
+              FROM cnt, mn
+            ), keyed AS (
+              SELECT d.doc_id, d.lang,
+                     (h1*h1 + h1) % 2305843009213693951 AS key, r.bp
+              FROM (
+                SELECT doc_id, lang,
+                       (CAST(doc_id + 1 AS HUGEINT)
+                          * 1234567890123456789 + 1618)
+                         % 2305843009213693951 AS h1
+                FROM documents
+              ) d JOIN rates r USING (lang)
+            )
+            SELECT doc_id, lang FROM keyed
+            WHERE key < (CAST(2305843009213693951 AS HUGEINT) * bp)
+                          // 10000
         """,
         # blocklist filter: same lowercase whitespace tokenization as
         # the engine (text.BLOCKLIST literal repeated here), fraction

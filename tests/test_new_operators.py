@@ -2015,3 +2015,25 @@ def test_blocklist_stats_boundary():
     assert [r["flag_bp"] for r in out] == [1000, 0, 5000, 0]
     assert [r["keep"] for r in out] == [True, True, False, True]
     assert out[0]["n_tokens"] == 10 and out[0]["n_flagged"] == 1
+
+
+def test_temperature_rates_alpha_half(ray_session):
+    """4:1 strata -> smallest keeps 10000 bp, the 4x one keeps
+    floor(10000*sqrt(1/4)) = 5000; floor_bp guards the huge stratum."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sampling import temperature_rates
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), type=pa.int64()),
+            "lang": pa.array(["a"] * 8 + ["b"] * 2),
+        }
+    )
+    rates = temperature_rates(rd.from_arrow(t).repartition(3),
+                              stratum_col="lang")
+    assert rates == {"a": 5000, "b": 10000}
+    assert temperature_rates(
+        rd.from_arrow(t.slice(0, 0)), stratum_col="lang"
+    ) == {}
