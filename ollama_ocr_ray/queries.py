@@ -806,6 +806,36 @@ def q_temp_mix(sf_dir: str):
                                 seed=1618, source_col="lang")
 
 
+def q_pagerank(sf_dir: str):
+    """Exact-integer PageRank (3 power iterations, damping 85/100,
+    scale 1e12) over the bipartite part<->supplier shipment graph —
+    one edge per lineitem row in each direction, multi-edges counted.
+    Edge-partitioned gather-scatter: one co-partitioned hash_join plus
+    one pre-aggregated sum-by-destination exchange per iteration, no
+    driver-side node state (functions/graph.py).  The unrolled DuckDB
+    oracle reruns the identical integer recurrence."""
+    from .functions import graph
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        part_n = 2 * p.astype(np.int64)
+        supp_n = 2 * s.astype(np.int64) + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([part_n, supp_n])),
+                "dst": pa.array(np.concatenate([supp_n, part_n])),
+            }
+        )
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return graph.pagerank(edges, iters=3, scale=10 ** 12)
+
+
 def q_budget_select(sf_dir: str):
     """Token-budget data selection: keep the highest-quality docs
     until a 12k-token budget fills (quality DESC, doc_id tiebreak,
@@ -1764,6 +1794,7 @@ def queries() -> dict:
         # --- wave 7 ---
         "blocklist_filter": q_blocklist_filter,
         "temp_mix": q_temp_mix,
+        "pagerank": q_pagerank,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -3156,5 +3187,43 @@ def oracle_sql() -> dict:
                  ELSE 'test'
                END AS split
         FROM keyed
+    """
+    # pagerank: the identical integer recurrence unrolled (3 power
+    # iterations) — node ids, degrees, per-edge floor-division
+    # contributions and the teleport base all exact BIGINT, so the
+    # final ranks hash-match the engine bit-for-bit
+    pr_base = (15 * 10 ** 12) // 100
+    pr = """
+        WITH edges AS (
+          SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+          UNION ALL
+          SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem
+        ), nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)
+        ), outdeg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src
+        ), r0 AS (
+          SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+        )"""
+    prev = "r0"
+    for i in (1, 2, 3):
+        pr += f""", r{i} AS (
+          SELECT n.node,
+                 CAST({pr_base} + COALESCE(s.v, 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM((85 * r.r) // (100 * o.deg)) AS v
+            FROM edges e
+            JOIN {prev} r ON r.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        )"""
+        prev = f"r{i}"
+    d["pagerank"] = pr + f"""
+        SELECT node, r AS rank_scaled FROM {prev}
     """
     return d

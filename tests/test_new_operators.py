@@ -2037,3 +2037,60 @@ def test_temperature_rates_alpha_half(ray_session):
     assert temperature_rates(
         rd.from_arrow(t.slice(0, 0)), stratum_col="lang"
     ) == {}
+
+
+def _rand_graph(seed: int, n_nodes: int = 60, n_edges: int = 400):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # hub-skewed multigraph with sinks and sources
+    src = (rng.zipf(1.6, n_edges) % n_nodes).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges, dtype=np.int64)
+    return src, dst
+
+
+def test_pagerank_paths_match_reference(ray_session):
+    """Broadcast and co-partitioned plans both reproduce the
+    independent dict-loop reference bit-for-bit, across block splits
+    (the multigraph has hot hub keys)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.graph import pagerank, \
+        pagerank_reference
+
+    src, dst = _rand_graph(7)
+    want = pagerank_reference(src, dst, iters=3, scale=10 ** 9)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+    })).repartition(13)
+
+    got_b = {r["node"]: r["rank_scaled"]
+             for r in pagerank(edges, iters=3, scale=10 ** 9).take_all()}
+    assert got_b == want
+
+    got_p = {r["node"]: r["rank_scaled"]
+             for r in pagerank(edges, iters=3, scale=10 ** 9,
+                               broadcast_max_nodes=0).take_all()}
+    assert got_p == want
+
+
+def test_pagerank_empty_and_guard(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.graph import pagerank
+
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64()),
+    }))
+    assert pagerank(empty, iters=2).take_all() == []
+
+    two = rd.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([2], type=pa.int64()),
+    }))
+    with pytest.raises(Exception, match="guard"):
+        pagerank(two, iters=2, scale=2 ** 61).take_all()
