@@ -806,6 +806,52 @@ def q_temp_mix(sf_dir: str):
                                 seed=1618, source_col="lang")
 
 
+def q_bpe_gate(sf_dir: str):
+    """BPE tokenizer gate: the distributed trainer (one bounded
+    word-histogram exchange + driver merge loop over word TYPES) and
+    the exchange-free streaming encode against the independent
+    raw-corpus reference implementation of the same pinned contract
+    (functions/bpe.py module doc).  Merge tables must be identical,
+    every document's token sequence must digest-match, and every
+    corpus word must round-trip through its encoding."""
+    from .functions import bpe
+    from .functions.text import _polyhash_segments, _token_hash_vec
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hist = bpe.word_histogram(ds)
+    merges = bpe.train_bpe(hist, num_merges=200)
+    got = {r["doc_id"]: (r["n_bpe_tok"], r["tok_digest"])
+           for r in bpe.bpe_encode(ds, merges=merges).take_all()}
+
+    # reference side: documents is the bounded gate-scale read (the
+    # kmeans_gate pattern); the reference is single-process by design
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    ref_merges, ref_enc = bpe.bpe_reference(
+        tbl.column("text").to_pylist(), num_merges=200)
+    want = {}
+    for i, did in enumerate(ids):
+        toks = ref_enc[i]
+        th = _token_hash_vec(toks).astype(np.uint64)
+        dig = _polyhash_segments(
+            th, np.array([len(toks)], dtype=np.int64))
+        want[did] = (len(toks), int(dig.view(np.int64)[0]))
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    roundtrip = all(
+        "".join(bpe.encode_word(w, ranks)) == w for w in hist
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([len(ids)], type=pa.int64()),
+            "merges_match": pa.array([merges == ref_merges]),
+            "encode_match": pa.array([got == want]),
+            "roundtrip_ok": pa.array([roundtrip]),
+        }
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Exact-integer PageRank (3 power iterations, damping 85/100,
     scale 1e12) over the bipartite part<->supplier shipment graph —
@@ -1795,6 +1841,7 @@ def queries() -> dict:
         "blocklist_filter": q_blocklist_filter,
         "temp_mix": q_temp_mix,
         "pagerank": q_pagerank,
+        "bpe_gate": q_bpe_gate,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -3187,6 +3234,16 @@ def oracle_sql() -> dict:
                  ELSE 'test'
                END AS split
         FROM keyed
+    """
+    # bpe_gate: BPE training is iterative and not SQL-expressible; the
+    # booleans are the distributed==reference contract, n_docs
+    # recomputed by the oracle.
+    d["bpe_gate"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(TRUE AS BOOLEAN) AS merges_match,
+               CAST(TRUE AS BOOLEAN) AS encode_match,
+               CAST(TRUE AS BOOLEAN) AS roundtrip_ok
+        FROM documents
     """
     # pagerank: the identical integer recurrence unrolled (3 power
     # iterations) — node ids, degrees, per-edge floor-division

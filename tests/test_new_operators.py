@@ -2094,3 +2094,61 @@ def test_pagerank_empty_and_guard(ray_session):
     }))
     with pytest.raises(Exception, match="guard"):
         pagerank(two, iters=2, scale=2 ** 61).take_all()
+
+
+def test_bpe_known_merges_and_encode(ray_session):
+    """Hand-checkable corpus: 'aaab' x3 + 'aab'.  Round 1: (a,a)=7 >
+    (a,b)=4 -> merge (a,a); round 2 ties (aa,a)=3 and (a,b)=3 ->
+    lexicographic min ('a','b'); round 3 merges (aa,ab) so 'aaab'
+    round-trips to one token.  Checked against the reference too, plus
+    partitioning invariance of the encode pass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import bpe
+
+    texts = ["aaab aaab", "aaab aab"]
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    ds = rd.from_arrow(t)
+    hist = bpe.word_histogram(ds)
+    assert hist == {"aaab": 3, "aab": 1}
+    merges = bpe.train_bpe(hist, num_merges=3)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    ref_merges, ref_enc = bpe.bpe_reference(texts, num_merges=3)
+    assert merges == ref_merges
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe.encode_word("aaab", ranks) == ("aaab",)
+    assert bpe.encode_word("aab", ranks) == ("aa", "b")
+    assert ref_enc[1] == ["aaab", "aa", "b"]
+
+    # encode pass is partitioning-invariant (per-doc outputs)
+    big = pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": pa.array((texts * 20)[:40]),
+    })
+    one = {r["doc_id"]: (r["n_bpe_tok"], r["tok_digest"])
+           for r in bpe.bpe_encode(rd.from_arrow(big),
+                                   merges=merges).take_all()}
+    many = {r["doc_id"]: (r["n_bpe_tok"], r["tok_digest"])
+            for r in bpe.bpe_encode(rd.from_arrow(big).repartition(11),
+                                    merges=merges).take_all()}
+    assert one == many
+
+
+def test_bpe_histogram_cap(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import bpe
+
+    t = pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["one two three four"]),
+    })
+    with pytest.raises(RuntimeError, match="word types"):
+        bpe.word_histogram(rd.from_arrow(t), cap=2)
