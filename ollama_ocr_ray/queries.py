@@ -1799,9 +1799,6 @@ def queries() -> dict:
         # against the same batch exact-dedup oracle)
         "dedup_apply": q_dedup_apply,
         "minhash_dedup": q_minhash_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        "dup_clusters": q_dup_clusters,
-        "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "ngram_dedup": q_ngram_dedup,
         "line_dedup": q_line_dedup,
         "intradoc_dedup": q_intradoc_dedup,
@@ -1813,7 +1810,6 @@ def queries() -> dict:
         # green since r2 and sentineled in-cap by knn_join/knn_lsh/
         # knn_ivf, which share its exchange and recall machinery
         "doc_fingerprint": q_doc_fingerprint,
-        "knn_join": q_knn_join,
         # --- text analysis --- (lang_summary is the warmup entry above)
         # --- sampling / sketches --- (lang_sample/source_mix moved to
         # the stable tail for r4: recorded green in r3 and their plans
@@ -1837,7 +1833,12 @@ def queries() -> dict:
         "value_quantiles": q_value_quantiles,
         "index_dedup": q_index_dedup,
         "neardup_ingest": q_neardup_ingest,
-        # --- wave 7 ---
+        # --- wave 7 (all new this round, so in-cap; the slots came
+        # from demoting simhash_dedup / dup_clusters /
+        # fuzzy_dedup_apply / knn_join — r3-recorded green, and their
+        # r4 kernel re-chunking is bit-identity property-tested with
+        # minhash_dedup / dedup_apply in-cap exercising the same
+        # kernels and join plans) ---
         "blocklist_filter": q_blocklist_filter,
         "temp_mix": q_temp_mix,
         "pagerank": q_pagerank,
@@ -1853,6 +1854,9 @@ def queries() -> dict:
         # events_sliding run their r3-recorded-green plans unchanged;
         # structured_receipts is no_oracle and transitively verified
         # by the in-cap extract_structured gate ---
+        "simhash_dedup": q_simhash_dedup,
+        "dup_clusters": q_dup_clusters,
+        "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "top_unshipped": q_top_unshipped,
         "events_sliding": q_events_sliding,
         "structured_receipts": q_structured_receipts,
@@ -1860,6 +1864,7 @@ def queries() -> dict:
         "asof_last_order": q_asof_last_order,
         "bpe_token_count": q_bpe_token_count,
         "knn_cosine": q_knn_cosine,
+        "knn_join": q_knn_join,
         # demoted to the tail for the r4 sixth wave so the relational
         # rewrite rows (segment_revenue / events_hourly /
         # top_orders_segment — VERDICT r3 #1 fixes) stay in-cap:
