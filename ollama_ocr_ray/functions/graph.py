@@ -80,7 +80,8 @@ def sum_by_key(ds, *, key: str, val: str, op: str = "sum_by_key"):
 
 
 def pagerank(edges, *, iters: int = 3, scale: int = 10 ** 12,
-             broadcast_max_nodes: int = 1_000_000):
+             broadcast_max_nodes: int = 1_000_000,
+             hot_outdeg: int = 8192):
     """PageRank over an (src, dst) int64 edge Dataset — module doc for
     the plan and the exact-integer contract.  Returns a Dataset of
     (node, rank_scaled) with one row per node appearing in any edge.
@@ -105,7 +106,8 @@ def pagerank(edges, *, iters: int = 3, scale: int = 10 ** 12,
         if n_nodes <= broadcast_max_nodes:
             return _pagerank_broadcast(edges, probe, iters=iters,
                                        scale=scale)
-    return _pagerank_partitioned(edges, iters=iters, scale=scale)
+    return _pagerank_partitioned(edges, iters=iters, scale=scale,
+                                 hot_outdeg=hot_outdeg)
 
 
 def _nodes_of(edges):
@@ -201,15 +203,36 @@ def _pagerank_broadcast(edges, nodes, *, iters: int, scale: int):
     }))
 
 
-def _pagerank_partitioned(edges, *, iters: int, scale: int):
-    """Co-partitioned scale path (module doc)."""
+def _pagerank_partitioned(edges, *, iters: int, scale: int,
+                          hot_outdeg: int = 8192,
+                          max_hot: int = 4_000_000):
+    """Co-partitioned scale path (module doc).
+
+    Hub skew: a web-graph hub (outdeg in the millions) would put every
+    one of its edges into ONE key segment of the contribution join —
+    past the block bound that whole segment routes to hash_join's
+    capped driver residual (measured: a Zipf-1.3 hub at 8M edges trips
+    the cap; a FIXED salt only divides the problem, and the residual is
+    size-biased toward exactly these runs).  So the join is
+    restructured around the skew:
+
+    - ranks x outdeg joins FIRST (both sides are node-keyed with ONE
+      row per key — no segment ever exceeds 2 rows), yielding each
+      source's per-edge contribution;
+    - the edge join key is DEGREE-ADAPTIVELY salted: a source with
+      outdeg d > ``hot_outdeg`` gets ceil(d / hot_outdeg) salts (its
+      run splits into <= hot_outdeg-row segments), everything else
+      keeps one key.  The hot set is bounded by edges/hot_outdeg and
+      ships once as a broadcast (capped loudly at ``max_hot``);
+      contribution replication totals <= edges/hot_outdeg + nodes
+      rows.  Node ids must stay below 2^42 (the salted key packs
+      salt indices into the low 20 bits) — checked loudly.
+    """
     base = (15 * scale) // 100
     from .relational import hash_join
 
     nodes = _nodes_of(edges)
 
-    # out-degree per source, then degree-annotated edges (computed once;
-    # every iteration reuses this materialized side)
     def ones(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
         return pa.table({
@@ -221,9 +244,64 @@ def _pagerank_partitioned(edges, *, iters: int, scale: int):
         edges.map_batches(ones, batch_format="pyarrow",
                           zero_copy_batch=True),
         key="src", val="deg", op="pagerank_outdeg",
+    ).materialize()
+
+    # bounded hot set: sorted arrays for vectorized lookup in tasks
+    import pyarrow.compute as pc
+
+    hot_rows = outdeg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("deg"), hot_outdeg)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).limit(max_hot + 1).take_all()
+    if len(hot_rows) > max_hot:
+        raise RuntimeError(
+            f"pagerank: > {max_hot} hot sources at outdeg > "
+            f"{hot_outdeg}; raise hot_outdeg"
+        )
+    hot_src = np.array(sorted(r["src"] for r in hot_rows),
+                       dtype=np.int64)
+    deg_of = {r["src"]: r["deg"] for r in hot_rows}
+    hot_salts = np.array(
+        [-(-deg_of[s] // hot_outdeg) for s in hot_src.tolist()],
+        dtype=np.int64,
     )
-    edges_deg = hash_join(
-        edges, outdeg, key="src", left_cols=["dst"], right_cols=["deg"]
+
+    _SALT_BITS = 20
+    if len(hot_salts) and hot_salts.max() >= (1 << _SALT_BITS):
+        raise RuntimeError(
+            "pagerank: a hub needs >= 2^20 salts; raise hot_outdeg"
+        )
+
+    def _salts_for(src: np.ndarray) -> np.ndarray:
+        """Per-row salt count (1 for cold sources)."""
+        out = np.ones(len(src), dtype=np.int64)
+        if len(hot_src):
+            pos = np.searchsorted(hot_src, src)
+            pos_c = np.minimum(pos, len(hot_src) - 1)
+            m = hot_src[pos_c] == src
+            out[m] = hot_salts[pos_c[m]]
+        return out
+
+    id_guard = 1 << 42
+
+    def salt_edges(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        if len(s) and (s.max() >= id_guard or s.min() < 0):
+            raise RuntimeError(
+                "pagerank: node id exceeds the salted-key bound "
+                "(< 2^42); remap ids first"
+            )
+        ns = _salts_for(s)
+        k2 = (s.astype(np.int64) << _SALT_BITS) + d % ns
+        return pa.table({
+            "k2": pa.array(k2),
+            "dst": pa.array(d.astype(np.int64)),
+        })
+
+    salted_edges = edges.map_batches(
+        salt_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     def init_rank(batch: pa.Table) -> pa.Table:
@@ -239,11 +317,8 @@ def _pagerank_partitioned(edges, *, iters: int, scale: int):
 
     r_guard = (2 ** 63 - 1) // _DAMP_NUM
 
-    def scatter(batch: pa.Table) -> pa.Table:
-        out_schema = pa.schema([("node", pa.int64()),
-                                ("z", pa.int64())])
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
+    def to_salted_contrib(batch: pa.Table) -> pa.Table:
+        """(src, r, deg) -> per-salt replicas of the contribution."""
         batch = batch.combine_chunks()
         r = batch.column("r").to_numpy(zero_copy_only=False)
         if r.max(initial=0) > r_guard:
@@ -252,10 +327,18 @@ def _pagerank_partitioned(edges, *, iters: int, scale: int):
                 "`scale` (overflow contract in the module doc)"
             )
         deg = batch.column("deg").to_numpy(zero_copy_only=False)
-        contrib = (_DAMP_NUM * r) // (_DAMP_DEN * deg)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        c = (_DAMP_NUM * r) // (_DAMP_DEN * deg)
+        ns = _salts_for(src)
+        total = int(ns.sum())
+        rep = np.repeat(np.arange(len(src)), ns)
+        # salt index within each row's run: 0..ns[i)-1
+        starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        sidx = np.arange(total) - starts[rep]
+        k2 = (src.astype(np.int64)[rep] << _SALT_BITS) + sidx
         return pa.table({
-            "node": batch.column("dst").cast(pa.int64()),
-            "z": pa.array(contrib.astype(np.int64)),
+            "k2": pa.array(k2),
+            "c": pa.array(c.astype(np.int64)[rep]),
         })
 
     def rebase(batch: pa.Table) -> pa.Table:
@@ -266,10 +349,26 @@ def _pagerank_partitioned(edges, *, iters: int, scale: int):
             "r": pa.array(base + s.astype(np.int64)),
         })
 
+    def scatter(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        return pa.table({
+            "node": batch.column("dst").cast(pa.int64()),
+            "z": batch.column("c").cast(pa.int64()),
+        })
+
     for _ in range(iters):
+        # node-sized skew-free join: one rank row x one degree row
+        per_src = hash_join(
+            ranks, outdeg, key="src",
+            left_cols=["r"], right_cols=["deg"],
+        )
+        salted_contrib = per_src.map_batches(
+            to_salted_contrib, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         joined = hash_join(
-            ranks, edges_deg, key="src",
-            left_cols=["r"], right_cols=["dst", "deg"],
+            salted_edges, salted_contrib, key="k2",
+            left_cols=["dst"], right_cols=["c"],
         )
         contribs = joined.map_batches(scatter, batch_format="pyarrow",
                                       zero_copy_batch=True)
