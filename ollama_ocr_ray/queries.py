@@ -806,6 +806,23 @@ def q_temp_mix(sf_dir: str):
                                 seed=1618, source_col="lang")
 
 
+def q_quality_classifier(sf_dir: str):
+    """Linear quality classifier trained full-batch on the exact
+    integer lattice (hard-sigmoid logistic, 3 GD iterations over
+    token/stopword/char counts vs an is-English label) and applied as
+    an exchange-free scoring pass.  Training is one streaming pass per
+    iteration emitting a single 5-int partial per block; the unrolled
+    DuckDB recurrence (truncating `//` on both sides) hash-matches the
+    per-doc predictions bit-for-bit — functions/classifier.py."""
+    from .functions import classifier as fcls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    feats = ds.map_batches(fcls.featurize_batch, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    w = fcls.train_linear(feats, iters=3)
+    return fcls.score_linear(feats, w)
+
+
 def q_bpe_gate(sf_dir: str):
     """BPE tokenizer gate: the distributed trainer (one bounded
     word-histogram exchange + driver merge loop over word TYPES) and
@@ -1843,6 +1860,7 @@ def queries() -> dict:
         "temp_mix": q_temp_mix,
         "pagerank": q_pagerank,
         "bpe_gate": q_bpe_gate,
+        "quality_classifier": q_quality_classifier,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -3239,6 +3257,51 @@ def oracle_sql() -> dict:
                  ELSE 'test'
                END AS split
         FROM keyed
+    """
+    # quality_classifier: the identical integer GD recurrence unrolled
+    # (3 iterations).  DuckDB `//` TRUNCATES toward zero and the engine
+    # pins the same (classifier._tdiv_vec) — floor semantics would
+    # diverge on negative scores/gradients.
+    cls = f"""
+        WITH feats AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS f1,
+                 CAST(len(list_filter(t, x -> x IN {_STOP_SQL}))
+                      AS BIGINT) AS f2,
+                 CAST(length(text) AS BIGINT) AS f3,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                      AS BIGINT) AS y
+          FROM (SELECT doc_id, lang, text, {_TOKS_SQL} AS t
+                FROM documents)
+        ), w0 AS (
+          SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                 CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3
+        )"""
+    for i in (1, 2, 3):
+        cls += f""", g{i} AS (
+          SELECT SUM(err) AS g0, SUM(err * f1) AS g1,
+                 SUM(err * f2) AS g2, SUM(err * f3) AS g3,
+                 COUNT(*) AS n
+          FROM (
+            SELECT least(greatest(5000 +
+                     (w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3)
+                       // 1000, 0), 10000) - 10000 * f.y AS err,
+                   f.f1, f.f2, f.f3
+            FROM feats f, w{i - 1} w)
+        ), w{i} AS (
+          SELECT CAST(w.w0 - g.g0 // (g.n * 200) AS BIGINT) AS w0,
+                 CAST(w.w1 - g.g1 // (g.n * 200) AS BIGINT) AS w1,
+                 CAST(w.w2 - g.g2 // (g.n * 200) AS BIGINT) AS w2,
+                 CAST(w.w3 - g.g3 // (g.n * 200) AS BIGINT) AS w3
+          FROM w{i - 1} w, g{i} g
+        )"""
+    d["quality_classifier"] = cls + """
+        SELECT f.doc_id,
+               CAST(least(greatest(5000 +
+                 (w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3) // 1000,
+                 0), 10000) AS BIGINT) AS pred_bp,
+               f.y AS label
+        FROM feats f, w3 w
     """
     # bpe_gate: BPE training is iterative and not SQL-expressible; the
     # booleans are the distributed==reference contract, n_docs

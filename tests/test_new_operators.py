@@ -2152,3 +2152,59 @@ def test_bpe_histogram_cap(ray_session):
     })
     with pytest.raises(RuntimeError, match="word types"):
         bpe.word_histogram(rd.from_arrow(t), cap=2)
+
+
+def test_linear_classifier_lattice_invariance(ray_session):
+    """Training on the integer lattice is partitioning-invariant:
+    weights from 1-block and 9-block layouts are identical and match
+    the independent loop reference; truncating division is pinned
+    (negative gradients exercise it)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import classifier as fcls
+
+    rng = np.random.default_rng(5)
+    n = 300
+    langs = np.where(rng.random(n) < 0.4, "en", "de")
+    texts = [
+        " ".join((["the", "and", "of"] if l == "en" else ["der", "und"])
+                 * int(rng.integers(1, 6)))
+        for l in langs
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs.tolist()),
+    })
+    feats1 = rd.from_arrow(t).map_batches(
+        fcls.featurize_batch, batch_format="pyarrow")
+    feats9 = rd.from_arrow(t).repartition(9).map_batches(
+        fcls.featurize_batch, batch_format="pyarrow").materialize()
+
+    w1 = fcls.train_linear(feats1, iters=3)
+    w9 = fcls.train_linear(feats9, iters=3)
+
+    ft = fcls.featurize_batch(t)
+    wref = fcls.train_linear_reference(
+        ft.column("f1").to_pylist(), ft.column("f2").to_pylist(),
+        ft.column("f3").to_pylist(), ft.column("y").to_pylist(),
+        iters=3)
+    assert w1 == w9 == wref
+    assert any(x != 0 for x in w1)  # it actually moved
+
+    scored = {r["doc_id"]: r["pred_bp"]
+              for r in fcls.score_linear(feats9, w9).take_all()}
+    assert len(scored) == n and all(0 <= v <= 10000
+                                    for v in scored.values())
+
+
+def test_tdiv_truncates_like_duckdb():
+    import numpy as np
+
+    from ollama_ocr_ray.functions.classifier import _tdiv_int, _tdiv_vec
+
+    assert _tdiv_int(-7, 2) == -3 and _tdiv_int(7, 2) == 3
+    assert _tdiv_vec(np.array([-7, 7, -1, 0]), 2).tolist() == \
+        [-3, 3, 0, 0]
