@@ -808,3 +808,115 @@ def blocklist_stats_batch(batch: pa.Table, *,
             "keep": pa.array(flag_bp <= max_bp),
         }
     )
+
+
+def lexical_diversity_batch(batch: pa.Table) -> pa.Table:
+    """Per-document type-token ratio (lexical diversity): distinct
+    non-empty whitespace tokens / total tokens, in EXACT basis points
+    (``n_types * 10000 // max(n_tokens, 1)``) so the DuckDB oracle
+    (``list_distinct`` over the same split) hash-matches.
+
+    Distinctness is EXACT string identity — ``pc.dictionary_encode``
+    like ``dedup.dedup_lines_within_doc``, no hashing, no collisions.
+    One lexsort over (doc, code) marks first occurrences; everything
+    is per-block Arrow/numpy, no exchange, no Python row loop.  Rows
+    are atomic in Ray Data so a doc never spans blocks.
+    """
+    batch = batch.combine_chunks()
+    toks = pc.utf8_split_whitespace(batch.column("text"))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_rows = len(batch)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    kept_seg = parents[nonempty]
+    n_tokens = np.bincount(kept_seg, minlength=n_rows).astype(np.int64)
+    if kept_seg.size:
+        kept = flat.filter(pa.array(nonempty))
+        codes = pc.dictionary_encode(kept).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, kept_seg))
+        s_seg, s_code = kept_seg[order], codes[order]
+        first = np.ones(codes.size, dtype=bool)
+        first[1:] = (s_seg[1:] != s_seg[:-1]) | (s_code[1:] != s_code[:-1])
+        n_types = np.bincount(s_seg[first], minlength=n_rows).astype(np.int64)
+    else:
+        n_types = np.zeros(n_rows, dtype=np.int64)
+    ttr_bp = (n_types * 10000) // np.maximum(n_tokens, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_types": pa.array(n_types, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "ttr_bp": pa.array(ttr_bp, type=pa.int64()),
+        }
+    )
+
+
+# NFC stability bound: every codepoint below U+0300 has NFC_QC = Yes
+# and canonical combining class 0 (combining marks start at U+0300,
+# and no composing second element or non-recomposing singleton lives
+# below it), so a string whose codepoints are ALL below the bound is
+# already NFC — brute-verified for every singleton and every ordered
+# pair below the bound in tests/test_new_operators.py.  In UTF-8,
+# codepoints >= U+0300 have lead byte >= 0xCC while ASCII +
+# continuation bytes + 2-byte leads up to U+02FF are all < 0xCC, so
+# the RE2 class scan below is a sufficient (and cheap) trigger.
+NFC_SAFE_BOUND = 0x300
+_NFC_TRIGGER_RE = "[\\x{0300}-\\x{10FFFF}]"
+
+
+def normalize_nfc_batch(batch: pa.Table,
+                        text_col: str = "text") -> pa.Table:
+    """Unicode NFC normalization with a vectorized stability fast
+    path: one RE2 scan flags the docs that CAN be non-NFC (any
+    codepoint >= U+0300, see ``NFC_SAFE_BOUND``); only that minority
+    pays ``unicodedata.normalize`` — one C call per flagged doc, not
+    per char — and results scatter back with an Arrow concat + take
+    permutation (no full-column Python list).  Mostly-ASCII web
+    corpora take the fast path for nearly every row.
+
+    The reference engine strips whitespace only (M9,
+    ``ollama_local_ocr.py``); canonical normalization is a
+    beyond-reference training-data operator (SURVEY §8).
+
+    Returns (doc_id, text=normalized, changed, n_chars_before,
+    n_chars_after) — char counts in codepoints on both sides so the
+    DuckDB ``nfc_normalize``/``length`` oracle matches exactly.
+    """
+    import unicodedata
+
+    batch = batch.combine_chunks()
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(batch)
+    before_len = pc.utf8_length(text)
+    maybe = pc.match_substring_regex(text, _NFC_TRIGGER_RE).to_numpy(
+        zero_copy_only=False)
+    if maybe.any():
+        idx = np.nonzero(maybe)[0]
+        sub = text.take(pa.array(idx)).to_pylist()
+        norm_sub = pa.array(
+            [unicodedata.normalize("NFC", s) for s in sub], type=text.type)
+        stable = text.filter(pa.array(~maybe))
+        merged = pa.concat_arrays([stable, norm_sub])
+        perm = np.empty(n, dtype=np.int64)
+        perm[~maybe] = np.arange(n - idx.size)
+        perm[maybe] = (n - idx.size) + np.arange(idx.size)
+        text_norm = merged.take(pa.array(perm))
+    else:
+        text_norm = text
+    changed = pc.not_equal(text_norm, text)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": text_norm,
+            "changed": changed,
+            "n_chars_before": pc.cast(before_len, pa.int64()),
+            "n_chars_after": pc.cast(pc.utf8_length(text_norm), pa.int64()),
+        }
+    )

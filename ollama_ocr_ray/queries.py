@@ -1658,6 +1658,39 @@ def q_blocklist_filter(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc type-token ratio in exact basis points: distinct
+    non-empty whitespace tokens via ``pc.dictionary_encode`` (exact
+    string identity, no hashing), one lexsort per block, no exchange.
+    The oracle recomputes distinctness with ``list_distinct`` over the
+    SAME split — the two distinct-count implementations are
+    independent."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(ftext.lexical_diversity_batch,
+                          batch_format="pyarrow")
+
+
+def q_normalize_nfc(sf_dir: str):
+    """Unicode NFC normalization over a DERIVED decomposed column
+    (text + 'e' + U+0301, appended on both sides) so the check is
+    non-vacuous on the ASCII synthetic corpus: every row must compose
+    to ...'é' (one codepoint shorter).  Engine = vectorized RE2
+    stability fast path + per-flagged-doc ``unicodedata.normalize``
+    (``text.normalize_nfc_batch``); oracle = DuckDB ``nfc_normalize``
+    — two independent UAX#15 implementations compared on full text."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        derived = pc.binary_join_element_wise(
+            batch.column("text"), pa.scalar("e\u0301"), pa.scalar(""))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": derived})
+
+    return ds.map_batches(derive, batch_format="pyarrow").map_batches(
+        ftext.normalize_nfc_batch, batch_format="pyarrow")
+
+
 def q_order_priority(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
     return relational.order_priority_counts(ds, "1994-01-01", "1997-01-01")
@@ -1839,13 +1872,11 @@ def queries() -> dict:
         "dsir_scores": q_dsir_scores,
         "topic_assign": q_topic_assign,
         "emb_gram": q_emb_gram,
-        "dup_substrings": q_dup_substrings,
         "chunk_docs": q_chunk_docs,
         "source_cap": q_source_cap,
         "dedup_keep_best": q_dedup_keep_best,
         "quantile_gate": q_quantile_gate,
         "heavy_hitters": q_heavy_hitters,
-        "hash_split": q_hash_split,
         "value_quantiles": q_value_quantiles,
         "index_dedup": q_index_dedup,
         "neardup_ingest": q_neardup_ingest,
@@ -1860,6 +1891,12 @@ def queries() -> dict:
         "pagerank": q_pagerank,
         "bpe_gate": q_bpe_gate,
         "quality_classifier": q_quality_classifier,
+        # --- wave 8 (new this round; slots freed by demoting
+        # hash_split — its exact-hash Bernoulli machinery is exercised
+        # in-cap by temp_mix — and dup_substrings, whose window-hash
+        # kernel + droplist fold run in-cap inside strip_dup_substr) ---
+        "lexical_diversity": q_lexical_diversity,
+        "normalize_nfc": q_normalize_nfc,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -1872,6 +1909,10 @@ def queries() -> dict:
         # structured_receipts is no_oracle and transitively verified
         # by the in-cap extract_structured gate ---
         "simhash_dedup": q_simhash_dedup,
+        # hash_split / dup_substrings demoted for the r4 eighth wave
+        # (see the wave-8 comment above for their in-cap sentinels)
+        "hash_split": q_hash_split,
+        "dup_substrings": q_dup_substrings,
         "dup_clusters": q_dup_clusters,
         "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "top_unshipped": q_top_unshipped,
@@ -2364,6 +2405,36 @@ def _base_oracles() -> dict:
                    (n_flagged * 10000) // greatest(n_tokens, 1) <= 900
                      AS keep
             FROM s
+        """,
+        # distinctness recomputed with list_distinct — independent of
+        # the engine's dictionary_encode/lexsort implementation
+        "lexical_diversity": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST((len(list_distinct(t)) * 10000)
+                        // greatest(len(t), 1) AS BIGINT) AS ttr_bp
+            FROM toks
+        """,
+        # DuckDB's ICU nfc_normalize vs the engine's unicodedata —
+        # two independent UAX#15 implementations compared on the full
+        # normalized text; the derived decomposed suffix makes every
+        # row compose (non-vacuous on the ASCII synthetic corpus)
+        "normalize_nfc": """
+            WITH derived AS (
+              SELECT doc_id, text || 'e' || chr(769) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(text) AS text,
+                   nfc_normalize(text) <> text AS changed,
+                   CAST(length(text) AS BIGINT) AS n_chars_before,
+                   CAST(length(nfc_normalize(text)) AS BIGINT)
+                     AS n_chars_after
+            FROM derived
         """,
         # top word-2-gram per doc; ties broken (count DESC, gram ASC)
         # exactly as the engine's lexsort; docs with < 2 tokens emit no

@@ -2208,3 +2208,71 @@ def test_tdiv_truncates_like_duckdb():
     assert _tdiv_int(-7, 2) == -3 and _tdiv_int(7, 2) == 3
     assert _tdiv_vec(np.array([-7, 7, -1, 0]), 2).tolist() == \
         [-3, 3, 0, 0]
+
+
+def test_lexical_diversity_matches_bruteforce():
+    """Engine TTR vs a per-doc Python set/len brute force — empty
+    docs, all-duplicate docs, padding whitespace, unicode tokens."""
+    from ollama_ocr_ray.functions.text import lexical_diversity_batch
+
+    texts = ["a b a  c", "", "x x x", "  ", "uno dos tres", "é é e",
+             "word " * 50 + "tail"]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    out = lexical_diversity_batch(t)
+    for i, text in enumerate(texts):
+        toks = [w for w in text.split() if w]
+        nt, ty = len(toks), len(set(toks))
+        assert out.column("n_tokens")[i].as_py() == nt
+        assert out.column("n_types")[i].as_py() == ty
+        assert out.column("ttr_bp")[i].as_py() == (ty * 10000) // max(nt, 1)
+
+
+def test_nfc_stability_bound_bruteforce():
+    """The fast-path invariant behind NFC_SAFE_BOUND: every singleton
+    below U+0300 and every ordered pair from a seeded 30k sample is
+    already NFC (combining marks, composing second elements, and
+    non-recomposing singletons all live at or above the bound)."""
+    import unicodedata
+
+    from ollama_ocr_ray.functions.text import NFC_SAFE_BOUND
+
+    for c in range(NFC_SAFE_BOUND):
+        s = chr(c)
+        assert unicodedata.normalize("NFC", s) == s
+    rng = np.random.default_rng(7)
+    pairs = rng.integers(0, NFC_SAFE_BOUND, size=(30000, 2))
+    for a, b in pairs:
+        s = chr(a) + chr(b)
+        assert unicodedata.normalize("NFC", s) == s
+
+
+def test_normalize_nfc_scatter_and_idempotence():
+    """Mixed batch: flagged docs at scattered positions normalize
+    (decomposed -> composed), unflagged pass through zero-copy; the
+    pass is idempotent and char counts are codepoint-exact."""
+    import unicodedata
+
+    from ollama_ocr_ray.functions.text import normalize_nfc_batch
+
+    dec = "cafe\u0301 con leche"  # decomposed; composes 1 shorter
+    comp = "caf\u00e9 done"       # already NFC, >= bound chars
+    texts = ["ascii one", dec, "ascii two", comp, dec + " " + dec,
+             "", "\u212bngstrom unit"]  # U+212B -> U+00C5
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    out = normalize_nfc_batch(t)
+    got = out.column("text").to_pylist()
+    assert got == [unicodedata.normalize("NFC", s) for s in texts]
+    assert out.column("changed").to_pylist() == [
+        False, True, False, False, True, False, True]
+    for i, s in enumerate(texts):
+        assert out.column("n_chars_before")[i].as_py() == len(s)
+        assert out.column("n_chars_after")[i].as_py() == len(got[i])
+    again = normalize_nfc_batch(out.select(["doc_id", "text"]))
+    assert again.column("text").to_pylist() == got
+    assert not any(again.column("changed").to_pylist())
