@@ -920,3 +920,128 @@ def normalize_nfc_batch(batch: pa.Table,
             "n_chars_after": pc.cast(pc.utf8_length(text_norm), pa.int64()),
         }
     )
+
+
+# --- per-source boilerplate profiling (CCNet/jusText-style) -----------------
+
+_BOILER_SEP = "\x1f"
+
+
+def boiler_df_partial(batch: pa.Table, *, min_len: int = 3) -> pa.Table:
+    """Per-block partial DISTINCT-doc frequencies of (source, word):
+    ``(skey, df)`` where ``skey = source + US + word`` and ``df``
+    counts the block's documents (not instances) containing the
+    ``>= min_len``-char whitespace word.  Two Arrow group_bys — the
+    distinct (doc, word) projection, then per-key doc counts — so the
+    exchange moves (source x vocab)-sized partials, never
+    corpus-sized rows.  Rows are atomic in Ray Data, so doc-level
+    distinctness is fully block-local."""
+    batch = batch.combine_chunks()
+    toks = pc.utf8_split_whitespace(batch.column("text"))
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    mask = pc.greater_equal(pc.utf8_length(flat), min_len)
+    p = pc.filter(parents, mask)
+    src = batch.column("source").take(p)
+    skey = pc.binary_join_element_wise(
+        src, pc.filter(flat, mask), pa.scalar(_BOILER_SEP))
+    pairs = pa.table({"p": p, "skey": skey}).group_by(
+        ["p", "skey"]).aggregate([])
+    out = pairs.group_by("skey").aggregate([("p", "count")])
+    return pa.table(
+        {"skey": out.column("skey"),
+         "df": out.column("p_count").cast(pa.int64())}
+    )
+
+
+def source_boilerplate(docs, *, thr_bp: int = 8000, min_len: int = 3,
+                       max_boiler: int = 100_000):
+    """Per-document boilerplate ratio: the fraction of a doc's
+    distinct ``>= min_len``-char words that are BOILERPLATE in its
+    source — appearing in more than ``thr_bp``/10000 of the source's
+    documents (the per-source high-document-frequency template test
+    CCNet/jusText run on lines; word granularity here because the
+    synthetic corpus has no newlines, like ``remove_common_lines``).
+
+    Distinct from corpus-level line dedup in both statistic and
+    scope: DISTINCT-doc frequency (a doc repeating a word counts
+    once), scoped PER SOURCE (a nav template universal in one crawl
+    but absent elsewhere still flags), and the output is a per-doc
+    profiling score, not a rewrite.
+
+    Plan: (1) one streaming pass of per-block (skey, df) partials →
+    one vocabulary-sized groupby-sum exchange; (2) the threshold
+    filter maps over that bounded aggregate with the docs-per-source
+    dict broadcast (sources are a small dimension); the qualifying
+    key set is collected driver-side behind a LOUD ``max_boiler``
+    cap — by construction at most ``total distinct (doc,word) pairs
+    / (thr_bp/10000 * min-source-size)`` keys can qualify; (3) one
+    exchange-free scoring scan (``pc.is_in`` against the broadcast
+    set).  ``boiler_bp`` is exact-integer basis points so the DuckDB
+    oracle hash-matches.
+    """
+    from ray.data.aggregate import Sum
+
+    n_by_source = {
+        r["source"]: r["count()"]
+        for r in docs.groupby("source").count().take_all()
+    }
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        batch = batch.combine_chunks()
+        skey = batch.column("skey")
+        src = pc.list_element(
+            pc.split_pattern(skey, _BOILER_SEP, max_splits=1), 0)
+        nd = pd.Series(src.to_pandas()).map(n_by_source).to_numpy(
+            dtype=np.int64)
+        df = batch.column("df").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(df * 10000 > thr_bp * nd))
+
+    hot_rows = (
+        docs.map_batches(
+            lambda b: boiler_df_partial(b, min_len=min_len),
+            batch_format="pyarrow")
+        .groupby("skey").aggregate(Sum("df", alias_name="df"))
+        .map_batches(keep_hot, batch_format="pyarrow")
+        .limit(max_boiler + 1)
+        .take_all()
+    )
+    if len(hot_rows) > max_boiler:
+        raise ValueError(
+            f"source_boilerplate: > {max_boiler} qualifying keys; raise "
+            f"thr_bp (={thr_bp}) or max_boiler — refusing to broadcast "
+            f"an unbounded set")
+    hot_set = pa.array([r["skey"] for r in hot_rows], type=pa.string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        n = len(batch)
+        toks = pc.utf8_split_whitespace(batch.column("text"))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        mask = pc.greater_equal(pc.utf8_length(flat), min_len)
+        p = pc.filter(parents, mask)
+        skey = pc.binary_join_element_wise(
+            batch.column("source").take(p), pc.filter(flat, mask),
+            pa.scalar(_BOILER_SEP))
+        pairs = pa.table({"p": p, "skey": skey}).group_by(
+            ["p", "skey"]).aggregate([])
+        pp = pairs.column("p").to_numpy(zero_copy_only=False)
+        isb = pc.is_in(pairs.column("skey"), value_set=hot_set).to_numpy(
+            zero_copy_only=False)
+        n_units = np.bincount(pp, minlength=n).astype(np.int64)
+        n_boiler = np.bincount(pp[isb], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_units": pa.array(n_units, type=pa.int64()),
+                "n_boiler": pa.array(n_boiler, type=pa.int64()),
+                "boiler_bp": pa.array(
+                    (n_boiler * 10000) // np.maximum(n_units, 1),
+                    type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1691,6 +1691,21 @@ def q_normalize_nfc(sf_dir: str):
         ftext.normalize_nfc_batch, batch_format="pyarrow")
 
 
+def q_source_boilerplate(sf_dir: str):
+    """Per-source boilerplate profiling (text.source_boilerplate):
+    flag words whose DISTINCT-doc frequency within their source
+    exceeds 80% (thr_bp=8000 keeps the outcome mixed at every sf —
+    measured 191/597, 187/597, 97/600 qualifying keys at
+    sf0.001/0.01/0.1), then score each doc's distinct->=3-char-word
+    boilerplate fraction in exact basis points.  Word granularity for
+    the same reason as line_dedup (the synthetic docs have no
+    newlines).  The oracle recomputes the whole thing relationally
+    (unnest + DISTINCT + self-join) — independent of the engine's
+    partial-df exchange and broadcast-set plan."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return ftext.source_boilerplate(ds, thr_bp=8000, min_len=3)
+
+
 def q_order_priority(sf_dir: str):
     ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate"])
     return relational.order_priority_counts(ds, "1994-01-01", "1997-01-01")
@@ -1871,7 +1886,6 @@ def queries() -> dict:
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_scores": q_dsir_scores,
         "topic_assign": q_topic_assign,
-        "emb_gram": q_emb_gram,
         "chunk_docs": q_chunk_docs,
         "source_cap": q_source_cap,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1893,10 +1907,13 @@ def queries() -> dict:
         "quality_classifier": q_quality_classifier,
         # --- wave 8 (new this round; slots freed by demoting
         # hash_split — its exact-hash Bernoulli machinery is exercised
-        # in-cap by temp_mix — and dup_substrings, whose window-hash
-        # kernel + droplist fold run in-cap inside strip_dup_substr) ---
+        # in-cap by temp_mix — dup_substrings, whose window-hash
+        # kernel + droplist fold run in-cap inside strip_dup_substr,
+        # and emb_gram, whose exact-integer Gram/scatter kernel is
+        # exercised in-cap by pca_gate) ---
         "lexical_diversity": q_lexical_diversity,
         "normalize_nfc": q_normalize_nfc,
+        "source_boilerplate": q_source_boilerplate,
         # --- relational / windows (rows touched by this round's
         # hash_join / exact-fold / window rewrites stay inside the
         # driver's ~50-row recording cap) ---
@@ -1909,10 +1926,12 @@ def queries() -> dict:
         # structured_receipts is no_oracle and transitively verified
         # by the in-cap extract_structured gate ---
         "simhash_dedup": q_simhash_dedup,
-        # hash_split / dup_substrings demoted for the r4 eighth wave
-        # (see the wave-8 comment above for their in-cap sentinels)
+        # hash_split / dup_substrings / emb_gram demoted for the r4
+        # eighth wave (see the wave-8 comment above for their in-cap
+        # sentinels)
         "hash_split": q_hash_split,
         "dup_substrings": q_dup_substrings,
+        "emb_gram": q_emb_gram,
         "dup_clusters": q_dup_clusters,
         "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "top_unshipped": q_top_unshipped,
@@ -2435,6 +2454,43 @@ def _base_oracles() -> dict:
                    CAST(length(nfc_normalize(text)) AS BIGINT)
                      AS n_chars_after
             FROM derived
+        """,
+        # the boilerplate set and the per-doc score are BOTH
+        # recomputed relationally (unnest + DISTINCT + join) —
+        # independent of the engine's partial-df exchange, broadcast
+        # threshold filter, and is_in scoring kernel
+        "source_boilerplate": """
+            WITH l AS (
+              SELECT doc_id, source,
+                     unnest(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> length(x) >= 3)) AS w
+              FROM documents
+            ),
+            ld AS (SELECT DISTINCT doc_id, source, w FROM l),
+            df AS (SELECT source, w, count(*) AS df
+                   FROM ld GROUP BY source, w),
+            ns AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY source),
+            hot AS (SELECT df.source, df.w
+                    FROM df JOIN ns USING (source)
+                    WHERE df.df * 10000 > 8000 * ns.n_docs),
+            per AS (
+              SELECT ld.doc_id,
+                     count(*) AS n_units,
+                     sum(CASE WHEN h.w IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_boiler
+              FROM ld LEFT JOIN hot h
+                ON ld.source = h.source AND ld.w = h.w
+              GROUP BY ld.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_units, 0) AS BIGINT) AS n_units,
+                   CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+                   CAST(coalesce(p.n_boiler, 0) * 10000
+                        // greatest(coalesce(p.n_units, 0), 1)
+                     AS BIGINT) AS boiler_bp
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         # top word-2-gram per doc; ties broken (count DESC, gram ASC)
         # exactly as the engine's lexsort; docs with < 2 tokens emit no

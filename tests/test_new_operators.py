@@ -2276,3 +2276,69 @@ def test_normalize_nfc_scatter_and_idempotence():
     again = normalize_nfc_batch(out.select(["doc_id", "text"]))
     assert again.column("text").to_pylist() == got
     assert not any(again.column("changed").to_pylist())
+
+
+def test_source_boilerplate_bruteforce(ray_session):
+    """Engine vs a per-doc Python brute force on a corpus where the
+    boilerplate outcome is mixed: one word universal in src A only,
+    one universal in both, one rare; plus a doc with no >=3-char
+    words (n_units=0 row must still appear) and partitioning across
+    blocks (distinct-doc df must not double-count a repeating doc)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.text import source_boilerplate
+
+    rows = []
+    for i in range(8):
+        rows.append({"doc_id": i, "source": "A",
+                     "text": "nav nav common extra%d xx" % i})
+    for i in range(8, 16):
+        rows.append({"doc_id": i, "source": "B",
+                     "text": "common footer uniq%d" % i})
+    rows.append({"doc_id": 16, "source": "B", "text": "a b c"})
+    ds = rd.from_items(rows, override_num_blocks=4)
+    out = {r["doc_id"]: r for r in source_boilerplate(
+        ds, thr_bp=8000, min_len=3).take_all()}
+
+    # brute force
+    from collections import defaultdict
+    docs = {r["doc_id"]: (r["source"],
+                          {w for w in r["text"].split() if len(w) >= 3})
+            for r in rows}
+    df = defaultdict(int)
+    n_src = defaultdict(int)
+    for _, (s, ws) in docs.items():
+        n_src[s] += 1
+    for _, (s, ws) in docs.items():
+        for w in ws:
+            df[(s, w)] += 1
+    hot = {k for k, v in df.items() if v * 10000 > 8000 * n_src[k[0]]}
+    assert len(out) == len(rows)
+    any_boiler = any_clean = False
+    for d, (s, ws) in docs.items():
+        nb = sum(1 for w in ws if (s, w) in hot)
+        assert out[d]["n_units"] == len(ws)
+        assert out[d]["n_boiler"] == nb
+        assert out[d]["boiler_bp"] == (nb * 10000) // max(len(ws), 1)
+        any_boiler |= nb > 0
+        any_clean |= nb < len(ws)
+    assert any_boiler and any_clean  # the gate actually bites
+    # per-source scoping: 'nav' is boilerplate in A, absent in B;
+    # 'common' is boilerplate in both; B's one-word docs score on
+    # footer+common only
+    assert ("A", "nav") in hot and ("B", "nav") not in hot
+    assert ("A", "common") in hot and ("B", "common") in hot
+
+
+def test_source_boilerplate_cap_trips(ray_session):
+    """The broadcast bound is LOUD: a qualifying set larger than
+    max_boiler raises instead of silently broadcasting."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.text import source_boilerplate
+
+    rows = [{"doc_id": i, "source": "A",
+             "text": "aaa bbb ccc ddd eee"} for i in range(4)]
+    ds = rd.from_items(rows)
+    with pytest.raises(ValueError, match="qualifying keys"):
+        source_boilerplate(ds, thr_bp=1000, max_boiler=2).take_all()
