@@ -179,35 +179,44 @@ def _token_counts(batch: pa.Table, text_col: str) -> pa.Table:
     )
 
 
-def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
-                        text_col: str = "text"):
-    """EXACT top-``k`` tokens by total occurrences, with every exchange
-    bounded by ``m x blocks`` rows — the web-scale alternative to a
-    full (token, count) shuffle, whose key space at 100 TB is the
-    unbounded long tail of typos/URLs/hashes, not a dictionary.
+def exact_top_counts(docs, *, k: int, m: int, partial_counts,
+                     allow_fewer: bool = False,
+                     op: str = "exact_top_counts"):
+    """EXACT top-``k`` (token, cnt) rows by SUMMED per-block partial
+    counts, with every exchange bounded by ``m x blocks`` rows — the
+    web-scale alternative to a full (token, count) shuffle, whose key
+    space at 100 TB is the unbounded long tail of typos/URLs/hashes,
+    not a dictionary.  Generalized in r5 (VERDICT #2) from
+    ``heavy_hitters_exact`` so the tfidf vocabulary build shares it.
+
+    ``partial_counts(batch) -> (token: string, cnt: int64)`` must be
+    EXACT for its block, emit each token at most once per block, and
+    never emit the empty-string token (reserved for the sentinel row).
 
     Two passes (Misra-Gries-style candidates, then exact re-count):
 
-    1. Per block: exact counts, keep the top ``m``.  Any token with
-       block count > n_b/m is in the block's top-m (at most m-1 tokens
-       can exceed that bar), so summing survivors' counts gives a
-       lower bound L(t) with true(t) - N/m <= L(t) <= true(t), where N
-       is the total token count (shipped as one sentinel row per block
-       under the empty-string token, which tokenization can never
-       emit).  Merged partials are <= m x blocks rows.
+    1. Per block: exact partial counts, keep the top ``m``.  Any token
+       with block count > n_b/m is in the block's top-m (at most m-1
+       tokens can exceed that bar), so summing survivors' counts gives
+       a lower bound L(t) with true(t) - N/m <= L(t) <= true(t), where
+       N is the total count mass (shipped as one sentinel row per
+       block under the empty-string token).  Merged partials are
+       <= m x blocks rows.
     2. Candidates = every token whose L is within N/m of the k-th
        largest L (a superset of the true top-k by the bound above),
        collected from the top 4m merged rows.  Three certificates
        gate the answer, and a failed certificate RAISES — the fix is
        a larger ``m``, never a silently-approximate answer:
        (a) the cut is inside the driver-bounded prefix, (b) at least
-       k candidates exist, (c) when the cut is <= 0 an UNSEEN token
-       (dropped from every block's top-m, so L = 0 but true count up
-       to N/m) could be a true heavy hitter — that case is only safe
-       when NO block actually truncated (then L is exact and nothing
-       is unseen), which the sentinel row tracks.  The candidate set
-       is then broadcast and re-counted exactly in one more streaming
-       pass whose exchange is candidate-sized.
+       k candidates exist (unless ``allow_fewer`` and NO block
+       truncated, in which case L is exact and the full — smaller —
+       vocabulary is returned directly), (c) when the cut is <= 0 an
+       UNSEEN token (dropped from every block's top-m, so L = 0 but
+       true count up to N/m) could be a true heavy hitter — that case
+       is only safe when NO block actually truncated, which the
+       sentinel row tracks.  The candidate set is then broadcast and
+       re-counted exactly in one more streaming pass whose exchange is
+       candidate-sized.
 
     Ties at the k-th slot break (cnt DESC, token ASC) — the SQL
     ``ORDER BY cnt DESC, token LIMIT k`` contract.
@@ -218,7 +227,7 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
 
     def top_m_partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        counted = _token_counts(batch, text_col)
+        counted = partial_counts(batch)
         cnt = counted.column("cnt").to_numpy(zero_copy_only=False)
         total = int(cnt.sum()) if len(cnt) else 0
         truncated = int(len(cnt) > m)
@@ -259,21 +268,30 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
     if not lower:
         return rd.from_arrow(empty)
     if len(lower) < k:
+        if allow_fewer and not any_trunc and len(lower) < 4 * m:
+            # no block ever truncated and the whole (small) vocabulary
+            # fits in the driver-bounded prefix: L is exact — return it
+            return rd.from_arrow(pa.table(
+                {"token": pa.array([t for t, _ in lower],
+                                   type=pa.string()),
+                 "cnt": pa.array([c for _, c in lower],
+                                 type=pa.int64())}
+            ))
         raise ValueError(
-            f"heavy_hitters_exact: vocabulary has only {len(lower)} "
+            f"{op}: vocabulary has only {len(lower)} "
             f"tokens visible in the top-{4 * m} merged prefix; need k={k}"
         )
     slack = -(-total_n // m)  # ceil(N/m)
     cut = lower[k - 1][1] - slack
     if len(lower) >= 4 * m and lower[-1][1] >= cut:
         raise ValueError(
-            "heavy_hitters_exact: candidate cut not contained in the "
+            f"{op}: candidate cut not contained in the "
             f"driver-bounded prefix (tail L={lower[-1][1]} >= cut={cut}); "
             "increase m"
         )
     if cut <= 0 and any_trunc:
         raise ValueError(
-            "heavy_hitters_exact: candidate cut <= 0 while at least one "
+            f"{op}: candidate cut <= 0 while at least one "
             "block truncated its counts — a token unseen in every "
             f"block's top-m (true count up to N/m = {slack}) could be a "
             f"true heavy hitter (k-th lower bound {lower[k - 1][1]}); "
@@ -283,7 +301,7 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
 
     def exact_partial(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
-        counted = _token_counts(batch, text_col)
+        counted = partial_counts(batch)
         return counted.filter(
             pc.is_in(counted.column("token"), value_set=cand)
         )
@@ -294,6 +312,20 @@ def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
         .aggregate(Sum("cnt", alias_name="cnt"))
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
+    )
+
+
+def heavy_hitters_exact(docs, *, k: int = 10, m: int = 256,
+                        text_col: str = "text"):
+    """EXACT top-``k`` tokens by total occurrences — the
+    ``exact_top_counts`` machinery over per-block exact term
+    frequencies (see that docstring for the bound and certificates).
+    Ties break (cnt DESC, token ASC), the SQL ``ORDER BY cnt DESC,
+    token LIMIT k`` contract."""
+    return exact_top_counts(
+        docs, k=k, m=m,
+        partial_counts=lambda b: _token_counts(b, text_col),
+        op="heavy_hitters_exact",
     )
 
 

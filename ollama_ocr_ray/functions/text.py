@@ -67,29 +67,37 @@ def tfidf_scores(docs, *, vocab_size: int = 1000, scale: int = 100):
     """(doc_id, tfidf_scaled): per-document TF-IDF relevance mass over
     the corpus' top-``vocab_size`` tokens by document frequency.
 
-    Two passes: (1) the bounded vocabulary build (df per token via
-    ``vocab_df_partial`` partials; the (df DESC, token) cut makes the
-    top-V set deterministic), collected driver-side — the vocabulary is
-    BOUNDED by construction, so this is the broadcast-small-side
-    pattern at any corpus size; (2) one streaming scan scoring each
-    document.
+    Two passes: (1) the bounded vocabulary build — EXACT top-V tokens
+    by document frequency via ``sketches.exact_top_counts`` (r5,
+    VERDICT #2): per-block df partials keep only their top-``m``, so
+    the exchange is m x blocks rows instead of a ``groupby`` over the
+    unbounded corpus token-type domain (millions-to-billions of groups
+    at 100 TB — the repo's own measured rule says that exchange is the
+    wrong primitive).  The (df DESC, token) cut keeps the top-V set
+    deterministic, and the certificates raise loudly (fix: larger
+    ``vocab_m``) rather than approximate.  (2) one streaming scan
+    scoring each document against the broadcast vocabulary.
 
     Exact-oracle trick: each (doc, token) term is integer-scaled
     BEFORE summation — ``floor(tf * (N/df) * scale + 0.5)`` with the
     exact same IEEE-double expression on the SQL side — so the per-doc
     sum is an order-independent int64 and hash-compares exactly.
     """
-    from ray.data.aggregate import Sum
+    from .sketches import exact_top_counts
 
     n_docs = docs.count()
-    vocab_rows = (
-        docs.map_batches(vocab_df_partial, batch_format="pyarrow")
-        .groupby("token").aggregate(Sum("df", alias_name="df"))
-        .sort(["df", "token"], descending=[True, False])
-        .limit(vocab_size)
-        .take_all()
-    )
-    idf = {r["token"]: float(n_docs) / float(r["df"]) for r in vocab_rows}
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        out = vocab_df_partial(batch)
+        return pa.table({"token": out.column("token"),
+                         "cnt": out.column("df")})
+
+    vocab_rows = exact_top_counts(
+        docs, k=vocab_size, m=max(4 * vocab_size, 256),
+        partial_counts=df_partial, allow_fewer=True,
+        op="tfidf_vocab",
+    ).take_all()
+    idf = {r["token"]: float(n_docs) / float(r["cnt"]) for r in vocab_rows}
 
     def score(batch: pa.Table) -> pa.Table:
         import pandas as pd

@@ -338,8 +338,9 @@ def test_dedup_keep_min_empty_input(ray_session):
 def test_exact_segment_fold_unit(ray_session):
     """Direct unit test of the boundary-routing helper: a key spanning
     two blocks (deterministic via union of single-block datasets) folds
-    once in the driver residual, never per fragment; the cap trips
-    loudly; an empty dataset stays empty."""
+    once in the residual pass, never per fragment; the r5 distributed
+    residual path (forced via driver_max=0) gives identical results;
+    an empty dataset stays empty."""
     import ray.data as rd
 
     from ollama_ocr_ray.functions.folds import exact_segment_fold
@@ -377,14 +378,95 @@ def test_exact_segment_fold_unit(ray_session):
     # every key folded exactly once, split key summed across fragments
     assert got == {1: (10, 1), 2: (7, 1), 3: (30, 1)}
 
-    with pytest.raises(RuntimeError, match="unit2.*driver cap"):
-        exact_segment_fold(ds, key_cols=["k"], fold=fold, raw_schema=raw,
-                           out_schema=out, cap=1, op="unit2")
+    # driver_max=0 forces the DISTRIBUTED residual pass (hash-exchange
+    # by key + one sort+fold task per partition): identical output.
+    got_dist = {r["k"]: (r["total"], r["frags"])
+                for r in exact_segment_fold(
+                    ds, key_cols=["k"], fold=fold, raw_schema=raw,
+                    out_schema=out, driver_max=0, op="unit2").take_all()}
+    assert got_dist == got
+
+    # multi-partition distributed residual: many blocks, every block a
+    # single-key boundary segment (all rows raw), rows_per_task=1 so
+    # the exchange fans out to multiple fold tasks; exact totals and
+    # one fold per key are still required.
+    blocks = [pa.table({"k": pa.array([i // 3], type=pa.int64()),
+                        "v": pa.array([i], type=pa.int64())})
+              for i in range(30)]
+    wide = rd.from_arrow(blocks[0])
+    for b in blocks[1:]:
+        wide = wide.union(rd.from_arrow(b))
+    got_wide = {r["k"]: (r["total"], r["frags"])
+                for r in exact_segment_fold(
+                    wide, key_cols=["k"], fold=fold, raw_schema=raw,
+                    out_schema=out, driver_max=0, rows_per_task=1,
+                    op="unit4").take_all()}
+    expect = {k: (sum(range(3 * k, 3 * k + 3)), 1) for k in range(10)}
+    assert got_wide == expect
 
     empty = rd.from_arrow(raw.empty_table())
     assert exact_segment_fold(
         empty, key_cols=["k"], fold=fold, raw_schema=raw,
         out_schema=out, op="unit3").count() == 0
+
+
+def test_exact_segment_fold_hot_key_distributed(ray_session):
+    """The r4 scale-killer scenario: ONE hot key whose sorted run spans
+    MANY blocks, residual far above driver_max — the old driver-only
+    path would refuse at the cap; the r5 distributed pass must fold the
+    hot key exactly once (all its rows hash to one partition task) and
+    keep every key's output in one block."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.dedup import _segment_bounds
+    from ollama_ocr_ray.functions.folds import exact_segment_fold
+
+    raw = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    out = pa.schema([("k", pa.int64()), ("total", pa.int64()),
+                     ("frags", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out.empty_table()
+        t = t.combine_chunks()
+        starts, _ = _segment_bounds(t.column("k"))
+        ks = t.column("k").to_numpy(zero_copy_only=False)
+        vals = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"k": pa.array(ks[starts], type=pa.int64()),
+             "total": pa.array(np.add.reduceat(vals, starts),
+                               type=pa.int64()),
+             "frags": pa.array(np.ones(len(starts), dtype=np.int64))}
+        ).cast(out)
+
+    # globally sorted layout: 30 all-hot blocks (key 5, 2k rows each =
+    # 60k residual rows) followed by one block of 30 cold keys whose
+    # interior segments fold in-block.
+    n_blocks, per_block = 30, 2000
+    hot = pa.table({"k": pa.array([5] * (n_blocks * per_block),
+                                  type=pa.int64()),
+                    "v": pa.array(range(n_blocks * per_block),
+                                  type=pa.int64())})
+    hot_blocks = [hot.slice(i * per_block, per_block)
+                  for i in range(n_blocks)]
+    cold = pa.table({"k": pa.array([1000 + i for i in range(n_blocks)
+                                    for _ in range(3)], type=pa.int64()),
+                     "v": pa.array([7, 8, 9] * n_blocks,
+                                   type=pa.int64())})
+    ds = rd.from_arrow(hot_blocks[0])
+    for b in hot_blocks[1:]:
+        ds = ds.union(rd.from_arrow(b))
+    ds = ds.union(rd.from_arrow(cold))
+    got = {r["k"]: (r["total"], r["frags"])
+           for r in exact_segment_fold(
+               ds, key_cols=["k"], fold=fold, raw_schema=raw,
+               out_schema=out, driver_max=1000, rows_per_task=8192,
+               op="hotkey").take_all()}
+    n_hot = n_blocks * per_block
+    assert got[5] == (n_hot * (n_hot - 1) // 2, 1)
+    for i in range(n_blocks):
+        assert got[1000 + i] == (24, 1)
+    assert len(got) == 1 + n_blocks
 
 
 def test_knn_join_matches_numpy(ray_session):
@@ -1755,6 +1837,50 @@ def test_heavy_hitters_empty_input(ray_session):
     ds = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
     out = _collect(heavy_hitters_exact(ds, k=5, m=8))
     assert out.num_rows == 0
+
+
+def test_exact_top_counts_df_vocab(ray_session):
+    """The r5 tfidf vocabulary path: exact_top_counts over per-block
+    DOCUMENT-frequency partials.  A Zipf-ish df corpus with vocab > k
+    exercises the candidate-cut path; the result must equal the brute
+    top-k by (df DESC, token ASC).  A vocab < k corpus with
+    allow_fewer returns the full exact vocabulary."""
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import exact_top_counts
+    from ollama_ocr_ray.functions.text import vocab_df_partial
+
+    def df_partial(batch):
+        out = vocab_df_partial(batch)
+        return pa.table({"token": out.column("token"),
+                         "cnt": out.column("df")})
+
+    # token ti appears in every doc with doc_id % (i+1) == 0 → df is
+    # Zipf-ish (t0 in all docs, t39 in 1/40 of docs), 40-token vocab
+    n_docs, n_vocab, k = 400, 40, 10
+    texts = [" ".join(f"t{i:02d}" for i in range(n_vocab)
+                      if d % (i + 1) == 0) for d in range(n_docs)]
+    truth = defaultdict(int)
+    for txt in texts:
+        for tok in set(txt.split()):
+            truth[tok] += 1
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    t = pa.table({"doc_id": pa.array(range(n_docs), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(8)
+    got = [(r["token"], r["cnt"]) for r in exact_top_counts(
+        ds, k=k, m=64, partial_counts=df_partial,
+        op="vocab_test").take_all()]
+    assert got == expect
+
+    # allow_fewer: k far above the vocabulary → full exact df table
+    got_all = [(r["token"], r["cnt"]) for r in exact_top_counts(
+        ds, k=1000, m=256, partial_counts=df_partial,
+        allow_fewer=True, op="vocab_small").take_all()]
+    assert got_all == sorted(truth.items(),
+                             key=lambda kv: (-kv[1], kv[0]))
 
 
 def test_bloom_non_multiple_of_8_bits(ray_session):
