@@ -903,8 +903,12 @@ def normalize_nfc_batch(batch: pa.Table,
         text = text.combine_chunks()
     n = len(batch)
     before_len = pc.utf8_length(text)
-    maybe = pc.match_substring_regex(text, _NFC_TRIGGER_RE).to_numpy(
-        zero_copy_only=False)
+    # fill_null(False): a null text row yields a null match, which
+    # would poison the boolean mask (ADVICE r4); null texts take the
+    # fast path and pass through unchanged
+    maybe = pc.fill_null(
+        pc.match_substring_regex(text, _NFC_TRIGGER_RE), False
+    ).to_numpy(zero_copy_only=False)
     if maybe.any():
         idx = np.nonzero(maybe)[0]
         sub = text.take(pa.array(idx)).to_pylist()
@@ -951,8 +955,20 @@ def boiler_df_partial(batch: pa.Table, *, min_len: int = 3) -> pa.Table:
     mask = pc.greater_equal(pc.utf8_length(flat), min_len)
     p = pc.filter(parents, mask)
     src = batch.column("source").take(p)
-    skey = pc.binary_join_element_wise(
-        src, pc.filter(flat, mask), pa.scalar(_BOILER_SEP))
+    # the composite skey is only unambiguous if neither side embeds
+    # the U+001F separator (it is NON-whitespace, so a token could
+    # legally carry it); fail loudly instead of desyncing from the
+    # oracle (ADVICE r4)
+    words = pc.filter(flat, mask)
+    for arr, what in ((words, "token"), (src, "source")):
+        bad = pc.any(pc.match_substring(arr, _BOILER_SEP)).as_py()
+        if bad:
+            raise ValueError(
+                f"source_boilerplate: a {what} contains the U+001F "
+                "key separator; pre-clean the corpus or change "
+                "_BOILER_SEP"
+            )
+    skey = pc.binary_join_element_wise(src, words, pa.scalar(_BOILER_SEP))
     pairs = pa.table({"p": p, "skey": skey}).group_by(
         ["p", "skey"]).aggregate([])
     out = pairs.group_by("skey").aggregate([("p", "count")])
@@ -1002,8 +1018,16 @@ def source_boilerplate(docs, *, thr_bp: int = 8000, min_len: int = 3,
         skey = batch.column("skey")
         src = pc.list_element(
             pc.split_pattern(skey, _BOILER_SEP, max_splits=1), 0)
-        nd = pd.Series(src.to_pandas()).map(n_by_source).to_numpy(
-            dtype=np.int64)
+        mapped = pd.Series(src.to_pandas()).map(n_by_source)
+        if mapped.isna().any():  # ADVICE r4: name the culprit, loudly
+            missing = sorted(set(
+                pd.Series(src.to_pandas())[mapped.isna()].tolist()))[:5]
+            raise RuntimeError(
+                "source_boilerplate: sources absent from the count "
+                f"pass reached the df pass: {missing} — the docs "
+                "lineage is non-deterministic between passes"
+            )
+        nd = mapped.to_numpy(dtype=np.int64)
         df = batch.column("df").to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(df * 10000 > thr_bp * nd))
 

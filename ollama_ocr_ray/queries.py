@@ -17,7 +17,13 @@ from .functions import contamination, dedup, relational, sampling, \
 
 # Stopword literal shared with oracle SQL strings.
 _STOP_SQL = "('the','and','of','a','in','to')"
-# whitespace-run tokenizer matching the engine's (non-empty tokens only)
+# Whitespace-run tokenizer matching the engine's (non-empty tokens
+# only).  CORPUS ASSUMPTION (ADVICE r4): RE2 '\s+' here is ASCII
+# whitespace while the engine's Arrow utf8_split_whitespace is Unicode
+# whitespace — equivalent only while the corpus has no non-ASCII
+# whitespace (U+00A0, U+2028, ...).  The synthetic corpus is ASCII; a
+# future non-ASCII corpus must widen this regex (e.g. '[\s ]+')
+# or selfcheck will flag the tokenizing queries, not silently pass.
 _TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _LTOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
               "x -> x <> '')")

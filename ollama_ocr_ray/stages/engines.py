@@ -45,6 +45,62 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
+
+def rgb_to_gray(arr: np.ndarray) -> np.ndarray:
+    """RGB (H, W, 3) uint8 -> grayscale (H, W) uint8 with the ITU-R
+    BT.601 luma weights cv2's cvtColor uses (the reference's
+    ``cv2.COLOR_BGR2GRAY`` at ``ocr_router.py:64``: 0.299 R + 0.587 G +
+    0.114 B, rounded to nearest).  2-D input passes through."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        return a.astype(np.uint8, copy=False)
+    if a.ndim != 3 or a.shape[-1] < 3:
+        raise ValueError(f"invalid image shape: {a.shape}")
+    y = (a[..., 0].astype(np.float64) * 0.299
+         + a[..., 1].astype(np.float64) * 0.587
+         + a[..., 2].astype(np.float64) * 0.114)
+    return np.floor(y + 0.5).astype(np.uint8)
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Otsu's global threshold over a uint8 grayscale array: the t
+    maximizing between-class variance of the 256-bin histogram, first
+    maximum on ties — the numpy equivalent of the reference's
+    ``cv2.threshold(..., THRESH_BINARY + THRESH_OTSU)``
+    (``ocr_router.py:68``)."""
+    g = np.asarray(gray)
+    hist = np.bincount(g.ravel(), minlength=256).astype(np.float64)
+    w0 = np.cumsum(hist)
+    mu = np.cumsum(hist * np.arange(256))
+    total, mu_t = w0[-1], mu[-1]
+    w1 = total - w0
+    valid = (w0 > 0) & (w1 > 0)
+    sigma = np.zeros(256)
+    np.divide((mu_t * w0 - total * mu) ** 2, w0 * w1,
+              out=sigma, where=valid)
+    return int(np.argmax(sigma))
+
+
+def preprocess_print_image(arr: np.ndarray) -> np.ndarray:
+    """The reference's Tesseract preprocess
+    (``ocr_router.py:53-73`` ``preprocess_image``), numpy-implemented
+    so it is testable without cv2: grayscale -> Otsu binarize
+    (pixel > t -> 255 else 0, cv2 THRESH_BINARY semantics) ->
+    MORPH_OPEN with a 1x1 rectangular kernel, which is the identity
+    (erode and dilate over a single-pixel window both return the
+    pixel), kept as an explicit step for parity with the reference."""
+    a = np.asarray(arr)
+    if a.size == 0 or a.ndim < 2:
+        raise ValueError(
+            f"Invalid image: empty or bad shape {getattr(a, 'shape', None)}"
+        )
+    gray = rgb_to_gray(a)
+    t = otsu_threshold(gray)
+    binary = np.where(gray > t, np.uint8(255), np.uint8(0))
+    return binary  # 1x1 MORPH_OPEN == identity
+
 
 def _decode_image(payload):
     """payload bytes -> PIL image (RGB).  Non-bytes payloads (the
@@ -71,11 +127,19 @@ class TesseractModel:
     """Printed-text OCR via pytesseract (``ocr_router.py:76-86``).
 
     Tesseract has no batch API; the loop is per payload but the psm
-    config string and the import happen once per actor."""
+    config string and the import happen once per actor.
 
-    def __init__(self, lang: str = "eng", config: str = "--psm 6"):
+    ``preprocess`` (default on, r5 VERDICT #3) applies the reference's
+    binarization before inference — grayscale -> Otsu -> 1x1 morph
+    open (``ocr_router.py:53-73``) — via the numpy
+    ``preprocess_print_image`` above, so the real path matches the
+    reference's printed-text accuracy instead of feeding raw RGB."""
+
+    def __init__(self, lang: str = "eng", config: str = "--psm 6",
+                 preprocess: bool = True):
         self.lang = lang
         self.config = config
+        self.preprocess = preprocess
         self._tess = None
 
     def _ensure_loaded(self):
@@ -90,11 +154,17 @@ class TesseractModel:
             self._tess = pytesseract
         return self._tess
 
+    def _prepare(self, payload) -> np.ndarray:
+        """payload -> the array handed to tesseract (binarized when
+        ``preprocess``; pytesseract accepts ndarrays directly)."""
+        arr = np.asarray(_decode_image(payload))
+        return preprocess_print_image(arr) if self.preprocess else arr
+
     def __call__(self, payloads: list) -> list[str]:
         tess = self._ensure_loaded()
         return [
             tess.image_to_string(
-                _decode_image(p), lang=self.lang, config=self.config
+                self._prepare(p), lang=self.lang, config=self.config
             ).strip()
             for p in payloads
         ]
@@ -305,11 +375,22 @@ class DemoHashModel:
         return [self.transcribe(p, self.tag) for p in payloads]
 
 
+def _make_router(arg: str = ""):
+    """``router`` spec -> RouterModel (content-based printed-vs-
+    handwriting dispatch, ``stages/routing.py``).  The optional arg is
+    the line-count threshold (``router:20``); inner engines default to
+    Tesseract/TrOCR, matching the reference's pairing."""
+    from .routing import RouterModel
+
+    return RouterModel(line_threshold=int(arg)) if arg else RouterModel()
+
+
 _NAMED = {
     "tesseract": TesseractModel,
     "trocr": TrOCRModel,
     "ollama": OllamaModel,
     "demo": DemoHashModel,
+    "router": _make_router,
 }
 # "pdf" composes: the arg names the INNER page-image engine
 # (``--model pdf:tesseract``, ``--model pdf:trocr:...``); resolved
