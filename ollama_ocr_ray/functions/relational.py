@@ -1337,8 +1337,48 @@ def _maybe_guard_sorted(sorted_ds, key_cols: list[str]):
     return sorted_ds
 
 
+def probe_hot_keys(ds, key: str, *, min_rows: int, m: int = 8,
+                   cap: int = 1024) -> set:
+    """Bounded skew probe: per-block top-``m`` key counts, merged, keys
+    whose summed LOWER BOUND exceeds ``min_rows``.  A key hot in truth
+    but below every block's top-m can be missed — acceptable by
+    design: the probe gates a PERFORMANCE optimization (salting), and
+    correctness never depends on it.  Exchange is m x blocks rows;
+    the qualifying set is driver-bounded by ``cap`` with a loud error
+    (more than ``cap`` keys above ``min_rows`` means the job should
+    raise ``min_rows``, not silently salt thousands of keys)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.combine_chunks().select([key])
+        counted = t.group_by(key).aggregate([([], "count_all")])
+        cnt = counted.column("count_all").to_numpy(zero_copy_only=False)
+        if len(cnt) > m:
+            keep = np.argpartition(cnt, len(cnt) - m)[len(cnt) - m:]
+            counted = counted.take(pa.array(np.sort(keep)))
+        return pa.table({"__k": counted.column(key),
+                         "cnt": counted.column("count_all").cast(pa.int64())})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k").aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("cnt"), min_rows))
+            if b.num_rows else b,
+            batch_format="pyarrow")
+        .limit(cap + 1).take_all()
+    )
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"probe_hot_keys: more than {cap} keys exceed "
+            f"min_rows={min_rows}; raise min_rows"
+        )
+    return {r["__k"] for r in rows}
+
+
 def hash_join(left, right, *, key: str, left_cols: list[str],
-              right_cols: list[str]):
+              right_cols: list[str], salt_hot: int = 0,
+              hot_min_rows: int = 250_000):
     """Inner equi-join of two LARGE Datasets by co-partitioning: tag
     both sides into one aligned schema, ONE sort exchange on the key,
     then a vectorized per-block merge (cross product inside each key
@@ -1350,18 +1390,29 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     ``folds.exact_segment_fold`` — interior key segments fold per
     block, and a key whose sorted run splits across blocks (one key's
     rows exceeding ``DataContext.target_max_block_size``) routes
-    wholly to the bounded driver residual — so the join is EXACT
-    without the sorted-block invariant every earlier round documented
-    as a bound.  Output guarantee downstream folds may rely on: every
-    key's joined rows live entirely in ONE output block
-    (``top_unshipped_orders`` uses this).  Skew still matters for
-    PERFORMANCE: a hot key serializes into a single merge (or the
-    driver residual, capped with a loud error) and its cross product
-    is quadratic — pre-aggregate the hot side (as
-    ``top_unshipped_orders`` does) or salt the key.
-    ``assert_sorted_block_invariant`` remains as the
-    ``GRAFT_DEBUG_INVARIANTS=1`` probe for verifying block layouts.
-    Each side's payload crosses the wire exactly once.
+    wholly to the residual, which since r5 re-folds DISTRIBUTED
+    (hash-partitioned by key) with no cap — so the join is EXACT at
+    any skew.  Output guarantee downstream folds may rely on (default
+    path only): every key's joined rows live entirely in ONE output
+    block (``top_unshipped_orders`` uses this).
+
+    Skew (r5 VERDICT #5): a hot key still SERIALIZES into a single
+    merge task and its cross product is quadratic.  ``salt_hot=S``
+    turns on degree-adaptive salting (the ``graph.py`` PageRank move,
+    generalized): a bounded pre-pass (``probe_hot_keys``) finds keys
+    with more than ``hot_min_rows`` LEFT rows; their left rows spread
+    over S salt buckets while their RIGHT rows replicate into every
+    bucket, so the hot merge parallelizes S-ways and the output
+    multiset is exactly the union of per-salt cross products.  Cost:
+    one extra bounded scan of the left side + S x right-hot-rows
+    replication — use it when the hot key's right side is small (the
+    fact-x-dim skew shape); NOTE salting forfeits the one-block-per-
+    key output guarantee for the salted keys (each salt group is its
+    own segment), so callers relying on per-key locality must keep
+    ``salt_hot=0``.  Non-hot keys are byte-identical to the default
+    plan either way.  ``assert_sorted_block_invariant`` remains as the
+    ``GRAFT_DEBUG_INVARIANTS=1`` probe.  Each side's payload crosses
+    the wire exactly once.
     """
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
@@ -1369,20 +1420,68 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     rtypes = {f.name: f.type for f in rschema}
     key_type = ltypes[key]
 
+    hot: set = set()
+    nsalt = max(1, int(salt_hot))
+    if nsalt > 1:
+        hot = probe_hot_keys(left.select_columns([key]), key,
+                             min_rows=hot_min_rows)
+        if not hot:
+            nsalt = 1
+    hot_arr = pa.array(sorted(hot), type=key_type) if hot else None
+
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             batch = batch.combine_chunks()
             n = batch.num_rows
+            k = batch.column(key).cast(key_type)
+            if nsalt > 1:
+                is_hot = pc.is_in(k, value_set=hot_arr).to_numpy(
+                    zero_copy_only=False)
+            if side == 0:
+                # left: spread a hot key's rows across the salt
+                # buckets.  Any assignment yields the same output
+                # multiset (each left row meets the full replicated
+                # right set exactly once), so a cheap block-local
+                # round-robin is enough.
+                salt = np.zeros(n, dtype=np.int8)
+                if nsalt > 1 and is_hot.any():
+                    nh = int(is_hot.sum())
+                    salt[is_hot] = (np.arange(nh) % nsalt).astype(np.int8)
+                cols = {
+                    "__k": k,
+                    "__s": pa.array(salt),
+                    "__side": pa.array(np.full(n, 0, dtype=np.int8)),
+                }
+                for c in left_cols:
+                    cols[c] = batch.column(c)
+                for c in right_cols:
+                    cols[c] = pa.nulls(n, type=rtypes[c])
+                return pa.table(cols)
+            # right: replicate hot-key rows into every salt bucket
+            salt = np.zeros(n, dtype=np.int8)
+            take = None
+            if nsalt > 1 and is_hot.any():
+                idx = np.arange(n, dtype=np.int64)
+                hot_idx = idx[is_hot]
+                take = np.concatenate([idx[~is_hot],
+                                       np.repeat(hot_idx, nsalt)])
+                salt = np.concatenate([
+                    np.zeros(n - len(hot_idx), dtype=np.int8),
+                    np.tile(np.arange(nsalt, dtype=np.int8),
+                            len(hot_idx)),
+                ])
+            sel = (batch.take(pa.array(take)) if take is not None
+                   else batch)
+            m = sel.num_rows
             cols = {
-                "__k": batch.column(key).cast(key_type),
-                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+                "__k": sel.column(key).cast(key_type),
+                "__s": pa.array(salt[:m]),
+                "__side": pa.array(np.full(m, 1, dtype=np.int8)),
             }
             for c in left_cols:
-                cols[c] = (batch.column(c) if side == 0
-                           else pa.nulls(n, type=ltypes[c]))
+                cols[c] = pa.nulls(m, type=ltypes[c])
             for c in right_cols:
-                cols[c] = (batch.column(c) if side == 1
-                           else pa.nulls(n, type=rtypes[c]))
+                cols[c] = sel.column(c)
             return pa.table(cols)
         return fn
 
@@ -1405,7 +1504,8 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
         batch = batch.combine_chunks()
         from .dedup import _segment_bounds
 
-        starts, ends = _segment_bounds(batch.column("__k"))
+        starts, ends = _segment_bounds(batch.column("__k"),
+                                       batch.column("__s"))
         side = batch.column("__side").to_numpy(zero_copy_only=False)
         l_take, r_take = [], []
         for s, e in zip(starts, ends):
@@ -1430,13 +1530,13 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     from .folds import exact_segment_fold
 
     tagged_schema = pa.schema(
-        [("__k", key_type), ("__side", pa.int8())]
+        [("__k", key_type), ("__s", pa.int8()), ("__side", pa.int8())]
         + [(c, ltypes[c]) for c in left_cols]
         + [(c, rtypes[c]) for c in right_cols]
     )
     return exact_segment_fold(
-        _maybe_guard_sorted(tagged.sort("__k"), ["__k"]),
-        key_cols=["__k"], fold=merge_block,
+        _maybe_guard_sorted(tagged.sort(["__k", "__s"]), ["__k", "__s"]),
+        key_cols=["__k", "__s"], fold=merge_block,
         raw_schema=tagged_schema, out_schema=out_schema, op="hash_join",
     )
 

@@ -910,6 +910,53 @@ def test_hash_join_inner_semantics(ray_session):
     }
 
 
+def test_hash_join_hot_key_salted(ray_session):
+    """r5 VERDICT #5 forced test: a 10^6-row hot key joins EXACTLY on
+    both plans — the default path (hot key routes wholly to the r5
+    distributed residual, no cap to trip) and the salted path
+    (salt_hot spreads the hot merge across salt buckets with the
+    right side replicated).  Both must agree with the closed form."""
+    import ray.data as rd
+
+    n_hot = 1_000_000
+    hot_left = rd.range(n_hot).map_batches(
+        lambda b: pa.table({
+            "k": pa.array(np.full(len(b["id"]), 7, dtype=np.int64)),
+            "v": pa.array(b["id"], type=pa.int64())}),
+        batch_format="numpy")
+    cold_left = rd.from_arrow(pa.table({
+        "k": pa.array([100 + i for i in range(50) for _ in range(2)],
+                      type=pa.int64()),
+        "v": pa.array([1, 2] * 50, type=pa.int64())}))
+    left = hot_left.union(cold_left)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7] + [100 + i for i in range(50)],
+                      type=pa.int64()),
+        "w": pa.array([10, 20] + [5] * 50, type=pa.int64())}))
+
+    # the skew probe sees the hot key and not the cold ones
+    from ollama_ocr_ray.functions.relational import probe_hot_keys
+    assert probe_hot_keys(left, "k", min_rows=100_000) == {7}
+    assert probe_hot_keys(cold_left, "k", min_rows=100_000) == set()
+
+    exp_rows = 2 * n_hot + 2 * 50
+    exp_v = 2 * (n_hot * (n_hot - 1) // 2) + 50 * (1 + 2)
+    exp_w = 30 * n_hot + 50 * 2 * 5
+    for salt in (0, 8):
+        out = relational.hash_join(
+            left, right, key="k", left_cols=["v"], right_cols=["w"],
+            salt_hot=salt, hot_min_rows=100_000)
+        sums = out.sum(["v", "w"])
+        assert out.count() == exp_rows, salt
+        assert sums["sum(v)"] == exp_v and sums["sum(w)"] == exp_w, salt
+        cold = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in out.filter(lambda r: r["k"] >= 100).take_all())
+        assert cold == sorted(
+            [(100 + i, 1, 5) for i in range(50)]
+            + [(100 + i, 2, 5) for i in range(50)]), salt
+
+
 def test_sorted_block_invariant_guard(ray_session):
     import ray.data as rd
 
