@@ -435,7 +435,19 @@ def approx_quantiles_kll(ds, key_col: str, value_col: str,
         )
 
     def merge(group: pa.Table) -> pa.Table:
-        group = group.combine_chunks()
+        # canonical merge order (r5 VERDICT #7): sort the serialized
+        # (level, value) rows before recompacting, so the merged
+        # sketch is a function of the partial-row MULTISET — without
+        # this, the streaming executor's nondeterministic block
+        # arrival order could change which values each compaction
+        # promotes, making the same run emit different (in-bound)
+        # quantiles run to run.  Block-CONTENT dependence remains (the
+        # price of any sublinear non-sampling sketch); the
+        # partitioning-invariant contract is the rank-error bound,
+        # which the value_quantiles gate measures every round.
+        group = group.combine_chunks().sort_by(
+            [("level", "ascending"), ("value", "ascending")]
+        ).combine_chunks()
         lvls = group.column("level").to_numpy(zero_copy_only=False)
         vals = group.column("value").to_numpy(zero_copy_only=False)
         levels = [np.empty(0, dtype=np.float64)]

@@ -1874,101 +1874,92 @@ def queries() -> dict:
         "line_dedup": q_line_dedup,
         "intradoc_dedup": q_intradoc_dedup,
         "strip_dup_substr": q_strip_dup_substr,
+        # --- r5 rotation (VERDICT r4 #6): the 11 entries that had
+        # never received a driver CORRECTNESS row — pushed out by the
+        # 50-row cap in r2-r4 — rotate in, plus tfidf_scores whose
+        # vocabulary build was rebuilt this round on the heavy-hitter
+        # partial cut.  The 12 freed slots come from the demotions
+        # annotated at the top of the stable tail below. ---
+        "hash_split": q_hash_split,
+        "dup_substrings": q_dup_substrings,
+        "emb_gram": q_emb_gram,
+        "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
+        "structured_receipts": q_structured_receipts,
+        "knn_join": q_knn_join,
+        "dsir_select": q_dsir_select,
+        "cluster_purity": q_cluster_purity,
+        "emb_dedup_apply": q_emb_dedup_apply,
+        "rank_pct": q_rank_pct,
+        "decon_bloom": q_decon_bloom,
+        "tfidf_scores": q_tfidf_scores,
+        # --- sampling / sketches / index keepers: heavy_hitters was
+        # refactored onto exact_top_counts this round and
+        # value_quantiles gates the KLL whose merge was canonicalized
+        # (both r5 changes), so they stay recorded; index_dedup /
+        # neardup_ingest stay while the index actors carry the r5
+        # placement changes ---
+        "source_cap": q_source_cap,
+        "heavy_hitters": q_heavy_hitters,
+        "value_quantiles": q_value_quantiles,
+        "index_dedup": q_index_dedup,
+        "neardup_ingest": q_neardup_ingest,
+        "temp_mix": q_temp_mix,
+        "pagerank": q_pagerank,
+        "bpe_gate": q_bpe_gate,
+        "lexical_diversity": q_lexical_diversity,
+        "normalize_nfc": q_normalize_nfc,
+        "source_boilerplate": q_source_boilerplate,
+        # --- relational / windows (every row here routes through the
+        # r5 distributed-residual exact_segment_fold and the salted
+        # hash_join tag path, so all three stay recorded) ---
+        "segment_revenue": q_segment_revenue,
+        "events_hourly": q_events_hourly,
+        "top_orders_segment": q_top_orders_segment,
+        # --- stable tail (beyond the driver's ~50-row recording cap
+        # but selfcheck-verified every session).  Demoted for the r5
+        # rotation — every one recorded green in CORRECTNESS_r04 and
+        # untouched by this round's changes, with in-cap sentinels:
+        # epoch_shuffle (deterministic-hash machinery in-cap via
+        # temp_mix + hash_split), doc_fingerprint (rolling-hash kernel
+        # in-cap via dup_substrings), budget_select (selection
+        # partial-top-k in-cap via source_cap + dsir_select),
+        # lm_familiarity, ccnet_buckets (grouped_percent_rank in-cap
+        # via rank_pct), dsir_scores (composed in-cap by dsir_select),
+        # topic_assign (partition folded in-cap by cluster_purity),
+        # chunk_docs, dedup_keep_best (content hash + cap_per_group
+        # in-cap via dedup_apply + source_cap), quantile_gate (exact
+        # grouped-quantile machinery sentineled by the in-cap
+        # value_quantiles gate), blocklist_filter (anti-join apply
+        # in-cap via dedup_apply + emb_dedup_apply),
+        # quality_classifier. ---
         "epoch_shuffle": q_epoch_shuffle,
-        # doc_fingerprint promoted into the cap for r4: its Horner
-        # kernel was re-chunked this round (bit-identical, but the row
-        # should be recorded); knn_cosine moved to the stable tail —
-        # green since r2 and sentineled in-cap by knn_join/knn_lsh/
-        # knn_ivf, which share its exchange and recall machinery
         "doc_fingerprint": q_doc_fingerprint,
-        # --- text analysis --- (lang_summary is the warmup entry above)
-        # --- sampling / sketches --- (lang_sample/source_mix moved to
-        # the stable tail for r4: recorded green in r3 and their plans
-        # are untouched since — the freed cap slots keep this round's
-        # line_dedup/emb_gram additions AND the rewritten relational
-        # rows all recorded)
         "budget_select": q_budget_select,
         "lm_familiarity": q_lm_familiarity,
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_scores": q_dsir_scores,
         "topic_assign": q_topic_assign,
         "chunk_docs": q_chunk_docs,
-        "source_cap": q_source_cap,
         "dedup_keep_best": q_dedup_keep_best,
         "quantile_gate": q_quantile_gate,
-        "heavy_hitters": q_heavy_hitters,
-        "value_quantiles": q_value_quantiles,
-        "index_dedup": q_index_dedup,
-        "neardup_ingest": q_neardup_ingest,
-        # --- wave 7 (all new this round, so in-cap; the slots came
-        # from demoting simhash_dedup / dup_clusters /
-        # fuzzy_dedup_apply / knn_join — r3-recorded green, and their
-        # r4 kernel re-chunking is bit-identity property-tested with
-        # minhash_dedup / dedup_apply in-cap exercising the same
-        # kernels and join plans) ---
         "blocklist_filter": q_blocklist_filter,
-        "temp_mix": q_temp_mix,
-        "pagerank": q_pagerank,
-        "bpe_gate": q_bpe_gate,
         "quality_classifier": q_quality_classifier,
-        # --- wave 8 (new this round; slots freed by demoting
-        # hash_split — its exact-hash Bernoulli machinery is exercised
-        # in-cap by temp_mix — dup_substrings, whose window-hash
-        # kernel + droplist fold run in-cap inside strip_dup_substr,
-        # and emb_gram, whose exact-integer Gram/scatter kernel is
-        # exercised in-cap by pca_gate) ---
-        "lexical_diversity": q_lexical_diversity,
-        "normalize_nfc": q_normalize_nfc,
-        "source_boilerplate": q_source_boilerplate,
-        # --- relational / windows (rows touched by this round's
-        # hash_join / exact-fold / window rewrites stay inside the
-        # driver's ~50-row recording cap) ---
-        "segment_revenue": q_segment_revenue,
-        "events_hourly": q_events_hourly,
-        "top_orders_segment": q_top_orders_segment,
-        # --- stable tail (beyond the driver's ~50-row recording cap
-        # but selfcheck-verified every session): top_unshipped /
-        # events_sliding run their r3-recorded-green plans unchanged;
-        # structured_receipts is no_oracle and transitively verified
-        # by the in-cap extract_structured gate ---
+        # earlier-round demotions, unchanged: top_unshipped /
+        # events_sliding run their r3-recorded-green plans;
+        # simhash/dup_clusters sentineled by minhash_dedup/dedup_apply
         "simhash_dedup": q_simhash_dedup,
-        # hash_split / dup_substrings / emb_gram demoted for the r4
-        # eighth wave (see the wave-8 comment above for their in-cap
-        # sentinels)
-        "hash_split": q_hash_split,
-        "dup_substrings": q_dup_substrings,
-        "emb_gram": q_emb_gram,
         "dup_clusters": q_dup_clusters,
-        "fuzzy_dedup_apply": q_fuzzy_dedup_apply,
         "top_unshipped": q_top_unshipped,
         "events_sliding": q_events_sliding,
-        "structured_receipts": q_structured_receipts,
         "sessionize": q_sessionize,
         "asof_last_order": q_asof_last_order,
         "bpe_token_count": q_bpe_token_count,
         "knn_cosine": q_knn_cosine,
-        "knn_join": q_knn_join,
-        # demoted to the tail for the r4 sixth wave so the relational
-        # rewrite rows (segment_revenue / events_hourly /
-        # top_orders_segment — VERDICT r3 #1 fixes) stay in-cap:
-        # dsir_select is cap_per_group over in-cap dsir_scores;
-        # cluster_purity folds the in-cap topic_assign partition;
-        # emb_dedup_apply shares the droplist anti-join with in-cap
-        # dedup_apply and the pair plan with in-cap embedding_near_dup
-        "dsir_select": q_dsir_select,
-        "cluster_purity": q_cluster_purity,
-        "emb_dedup_apply": q_emb_dedup_apply,
-        # embedding_near_dup: r2/r3-recorded green, plan untouched in
-        # r4, and semdedup_gate runs embedding_near_dup_blocked as its
-        # in-cap exact baseline every round
+        # embedding_near_dup: r2/r3-recorded green, and semdedup_gate
+        # runs embedding_near_dup_blocked as its in-cap exact baseline
         "embedding_near_dup": q_embedding_near_dup,
-        # rank_pct: its exact rank rule (strictly-below * 10000 // n)
-        # is oracle-checked end-to-end by the in-cap ccnet_buckets row
-        # (same grouped_percent_rank primitive, composed)
-        "rank_pct": q_rank_pct,
-        # text-analysis rows green + untouched since r3's vectorization
-        # wave — moved past the cap so r4's rewritten relational rows
-        # (hash_join / exact-fold / window plans) stay recorded
+        # text-analysis rows green + untouched since r3's
+        # vectorization wave
         "doc_token_stats": q_doc_token_stats,
         "exact_dedup": q_exact_dedup,
         "lang_sample": q_lang_sample,
@@ -1978,16 +1969,10 @@ def queries() -> dict:
         "top_2gram": q_top_2gram,
         "scrub_pii": q_scrub_pii,
         # decontaminate green since r2; decon_bloom (same oracle, same
-        # scan contract) stays inside the cap as its sentinel
+        # scan contract) is in-cap as its sentinel this round
         "decontaminate": q_decontaminate,
-        # decon_bloom shares decontaminate's oracle verbatim and its
-        # lossless-prune (no-false-negative) property is unit-tested;
-        # demoted for r4 so the wave-7 quality_classifier row and the
-        # three relational-rewrite rows stay inside the recording cap
-        "decon_bloom": q_decon_bloom,
         "lang_id": q_lang_id,
         "vocab_top_terms": q_vocab_top_terms,
-        "tfidf_scores": q_tfidf_scores,
         "docs_sample_mod": q_docs_sample_mod,
         "chars_quantiles": q_chars_quantiles,
         "top_docs": q_top_docs,

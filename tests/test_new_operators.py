@@ -1773,6 +1773,33 @@ def test_kll_quantiles_accuracy_and_merge(ray_session):
             assert rank_err(sb, rows["b"][name], q) <= 1 / len(sb) + 1e-9
 
 
+def test_kll_merge_block_order_invariant(ray_session):
+    """r5 VERDICT #7: for a FIXED partitioning (same block contents),
+    the merged sketch must be bit-identical no matter which order the
+    blocks reach the merge — the canonical (level, value) sort inside
+    the merge removes the executor's arrival-order nondeterminism."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.sketches import approx_quantiles_kll
+
+    rng = np.random.RandomState(23)
+    blocks = [pa.table({"g": pa.array(["x"] * 4000),
+                        "v": pa.array(rng.lognormal(0, 2, 4000),
+                                      type=pa.float64())})
+              for _ in range(6)]
+
+    def run(order):
+        ds = rd.from_arrow(blocks[order[0]])
+        for i in order[1:]:
+            ds = ds.union(rd.from_arrow(blocks[i]))
+        [row] = approx_quantiles_kll(ds, "g", "v").take_all()
+        return row
+
+    a = run([0, 1, 2, 3, 4, 5])
+    b = run([5, 3, 1, 4, 2, 0])
+    assert a == b  # bit-identical quantiles, not merely within-bound
+
+
 def test_index_dedup_matches_batch_exact(ray_session):
     """Two-phase actor-index dedup == the batch exchange plan: same
     winners (global min doc_id), same multiplicities, regardless of
