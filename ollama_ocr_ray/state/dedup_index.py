@@ -44,6 +44,22 @@ import pyarrow as pa
 import ray
 
 
+def _spawn_shards(actor_cls, n_shards: int) -> list:
+    """Spawn shard actors with the SPREAD scheduling strategy (r5
+    VERDICT #8): on a multi-node cluster Ray places them round-robin
+    across nodes, so the index's aggregate memory scales with the
+    cluster instead of stacking every ``num_cpus=0`` actor on the head
+    node (the default packing behavior for zero-resource actors).  On
+    one node it is a no-op.  Shard-count sweeps on one box measure RPC
+    overhead only; node fan-out is the real scaling axis — see the
+    ``ray job submit`` recipe in BASELINE.md for running an ingest on
+    a real cluster."""
+    return [
+        actor_cls.options(scheduling_strategy="SPREAD").remote()
+        for _ in range(n_shards)
+    ]
+
+
 @ray.remote(num_cpus=0)
 class IndexShard:
     """One hash-space slice: ``digest -> (min_doc_id, offer_count)``.
@@ -160,7 +176,7 @@ class DedupIndex:
 
     def __init__(self, n_shards: int = 8):
         self.n_shards = n_shards
-        self.shards = [IndexShard.remote() for _ in range(n_shards)]
+        self.shards = _spawn_shards(IndexShard, n_shards)
 
     def seal(self) -> int:
         return sum(ray.get([s.seal.remote() for s in self.shards]))
@@ -651,7 +667,7 @@ class NearDupIndex:
         self.n_shards = n_shards
         self.params = {"num_perm": num_perm, "bands": bands,
                        "shingle_k": shingle_k, "seed": seed}
-        self.shards = [SigShard.remote() for _ in range(n_shards)]
+        self.shards = _spawn_shards(SigShard, n_shards)
 
     def make_hasher(self):
         from ..functions.dedup import MinHashLSH
