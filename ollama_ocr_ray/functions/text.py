@@ -63,7 +63,8 @@ def bpe_count_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("n_bpe", n)
 
 
-def tfidf_scores(docs, *, vocab_size: int = 1000, scale: int = 100):
+def tfidf_scores(docs, *, vocab_size: int = 1000, scale: int = 100,
+                 vocab_m: int | None = None):
     """(doc_id, tfidf_scaled): per-document TF-IDF relevance mass over
     the corpus' top-``vocab_size`` tokens by document frequency.
 
@@ -92,8 +93,13 @@ def tfidf_scores(docs, *, vocab_size: int = 1000, scale: int = 100):
         return pa.table({"token": out.column("token"),
                          "cnt": out.column("df")})
 
+    # m must satisfy m >~ N_pairs / df_at_rank_V for the candidate-cut
+    # certificate to hold (N_pairs = total distinct (doc, token)
+    # pairs); the default suits head-heavy corpora, and a failed
+    # certificate names this knob
+    m = vocab_m if vocab_m is not None else max(4 * vocab_size, 256)
     vocab_rows = exact_top_counts(
-        docs, k=vocab_size, m=max(4 * vocab_size, 256),
+        docs, k=vocab_size, m=m,
         partial_counts=df_partial, allow_fewer=True,
         op="tfidf_vocab",
     ).take_all()
