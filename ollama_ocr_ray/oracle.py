@@ -199,3 +199,60 @@ def extract_corpus(table, policy: str = "text") -> dict[str, list[tuple]]:
             (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
         ]
     return result
+
+
+def route_media_span(media_ref: str, payload_image=None, *,
+                     line_threshold: int = 15) -> str:
+    """Independent reimplementation of the reference's
+    printed-vs-handwriting routing heuristic
+    (``ocr_router.py:122-174``) for the ``media_route`` gate — written
+    separately from ``stages/routing.py`` per the span-equality
+    contract (plain Python loops, inline keyword lists; the stage uses
+    Arrow regex + numpy run counting).
+
+    ``payload_image`` is a 2-D grayscale pixel array (list-of-lists or
+    ndarray); None means the payload could not be read — the
+    reference's handwriting default.
+    """
+    name = media_ref.lower()
+    for k in ("receipt", "invoice", "form", "document", "pdf"):
+        if k in name:
+            return "printed"
+    for k in ("handwriting", "handwritten", "note", "notes", "draft"):
+        if k in name:
+            return "handwriting"
+    if payload_image is None:
+        return "handwriting"
+    img = [list(map(int, row)) for row in payload_image]
+    h = len(img)
+    w = len(img[0]) if h else 0
+    if h < 10 or w < 10:
+        return "handwriting"
+    lines = 0
+    # horizontal rules: per row of the vertical-gradient map, maximal
+    # runs of |img[r+1][c]-img[r][c]| > 50 with length >= 60
+    for r in range(h - 1):
+        run = 0
+        for c in range(w):
+            if abs(img[r + 1][c] - img[r][c]) > 50:
+                run += 1
+            else:
+                if run >= 60:
+                    lines += 1
+                run = 0
+        if run >= 60:
+            lines += 1
+    # vertical rules: per column of the horizontal-gradient map,
+    # maximal runs along the row axis
+    for c in range(w - 1):
+        run = 0
+        for r in range(h):
+            if abs(img[r][c + 1] - img[r][c]) > 50:
+                run += 1
+            else:
+                if run >= 60:
+                    lines += 1
+                run = 0
+        if run >= 60:
+            lines += 1
+    return "printed" if lines > line_threshold else "handwriting"

@@ -22,6 +22,7 @@ under the span-equality contract):
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schema import EXTRACTED_SCHEMA, SUMMARY_SCHEMA
 from ..spec import CORRUPT_SUFFIX, ERROR_TEXT, unsupported_text
@@ -467,6 +468,59 @@ def summary_table(extracted_with_stats):
         ).cast(SUMMARY_SCHEMA)
 
     return extracted_with_stats.map_batches(to_summary, batch_format="pyarrow")
+
+
+REF_CSV_COLUMNS = ["file", "engine", "chars", "pages", "type"]
+
+
+def compat_summary_rows(stats: pa.Table) -> pa.Table:
+    """with_stats rows → the reference's literal CSV row shape
+    (``ocr_router.py:386,406-408``: ``file, engine, chars, pages,
+    type``): file = doc_id (the engine's document/file analog, SURVEY
+    §1.1), pages = output span count (the page analog), type = 'pdf'
+    for multi-span documents / 'image' for single-span ones — the
+    reference's filename-suffix test re-expressed over the interleaved
+    data model, where a document IS the ordered page sequence."""
+    stats = stats.combine_chunks()
+    pages = stats.column("n_spans").cast(pa.int64())
+    return pa.table(
+        {
+            "file": stats.column("doc_id"),
+            "engine": stats.column("engine"),
+            "chars": stats.column("chars").cast(pa.int64()),
+            "pages": pages,
+            "type": pc.if_else(pc.greater(pages, 1),
+                               pa.scalar("pdf"), pa.scalar("image")),
+        }
+    )
+
+
+def write_summary_csv(extracted_with_stats, path: str, *,
+                      single_file: bool = False) -> None:
+    """Reference-format CSV summary writer (K3 compat,
+    ``ocr_router.py:378-386``).  Default: partitioned CSV parts via
+    ``Dataset.write_csv`` (resumable, never one giant file).
+    ``single_file=True`` streams the blocks — sorted by file for a
+    stable byte-level artifact diff against the reference — into ONE
+    csv at ``path``; driver-local convenience for compat checks, not
+    the scale path."""
+    ds = extracted_with_stats.map_batches(
+        compat_summary_rows, batch_format="pyarrow")
+    if not single_file:
+        ds.write_csv(path)
+        return
+    import csv
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(REF_CSV_COLUMNS)
+        for b in ds.sort("file").iter_batches(batch_size=4096,
+                                              batch_format="pyarrow"):
+            cols = [b.column(c).to_pylist() for c in REF_CSV_COLUMNS]
+            w.writerows(zip(*cols))
+    os.replace(tmp, path)
 
 
 def render_compat_text(spans: list[dict]) -> str:

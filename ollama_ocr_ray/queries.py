@@ -1832,6 +1832,99 @@ def q_media_features(sf_dir: str):
     )
 
 
+def _route_decode(payload: bytes):
+    """Deterministic payload→pixels fake decoder for the media_route
+    gate (no image codecs in-sandbox; the real seam decodes with PIL):
+    even seed byte → ruled 120x120 page (the printed shape the
+    line-count heuristic targets), odd → flat gray (handwriting)."""
+    if payload[0] % 2 == 0:
+        img = np.full((120, 120), 255, dtype=np.uint8)
+        img[4::6, :] = 0
+        return img
+    return np.full((120, 120), 128, dtype=np.uint8)
+
+
+def q_media_route(sf_dir: str):
+    """M3 content-routing gate (r5): the vectorized ``route`` column
+    (``stages/routing.route_media_batch`` — Arrow keyword regex + the
+    numpy line-count payload path) against the INDEPENDENT per-span
+    loop reimplementation ``oracle.route_media_span``, over the real
+    interleaved corpus's exploded spans PLUS planted spans covering
+    every branch: keyword printed/handwriting, printed-wins-over-
+    handwriting, store-resolved ruled/flat payloads, and the
+    unreadable-default.  One row per disagreeing span — EXPECTED
+    EMPTY, so the SQL oracle is the empty table."""
+    import ray.data as rd
+
+    from . import oracle as orc
+    from .schema import EXPLODED_FIELDS
+    from .stages.explode import explode_batch
+    from .stages.routing import route_media_batch
+
+    exploded_schema = pa.schema(EXPLODED_FIELDS)
+    store = {f"planted://img/{i}": bytes([i]) for i in range(24)}
+    planted_refs = list(store) + [
+        "planted://receipt_scan/0", "planted://tax-invoice/1",
+        "planted://meeting-notes/2", "planted://handwritten_draft/3",
+        "planted://receipt-notes/4",   # printed keywords win
+        "planted://unreadable/5",      # no keyword, no store: default
+    ]
+    planted = pa.table(
+        {
+            "doc_id": pa.array([f"planted-{i}"
+                                for i in range(len(planted_refs) + 1)]),
+            "offset": pa.array([0] * (len(planted_refs) + 1),
+                               type=pa.int32()),
+            "kind": pa.array(["media"] * len(planted_refs) + ["text"]),
+            "text": pa.array([""] * len(planted_refs) + ["plain"]),
+            "media_ref": pa.array(planted_refs + [""]),
+        }
+    ).cast(exploded_schema)
+
+    spans = _read_corpus(sf_dir).map_batches(
+        explode_batch, batch_format="pyarrow"
+    ).union(rd.from_arrow(planted))
+
+    out_schema = pa.schema([("doc_id", pa.string()),
+                            ("reason", pa.string())])
+
+    def check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        routed = route_media_batch(batch, media_store=store,
+                                   decode=_route_decode)
+        kinds = batch.column("kind").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        got = routed.column("route").to_pylist()
+        bad, why = [], []
+        for d, kd, ref, g in zip(ids, kinds, refs, got):
+            if kd != "media":
+                exp = ""
+            else:
+                exp = orc.route_media_span(
+                    ref,
+                    payload_image=(_route_decode(store[ref])
+                                   if ref in store else None))
+            if g != exp:
+                bad.append(d)
+                why.append(f"{ref}: engine={g} oracle={exp}")
+        return pa.table({"doc_id": pa.array(bad, type=pa.string()),
+                         "reason": pa.array(why, type=pa.string())})
+
+    # collect to an arrow Table (expected empty; at worst span-bounded
+    # diagnostic rows) so the empty case keeps its schema through the
+    # driver comparator — the _digest_parity convention
+    parts = [
+        t for t in spans.map_batches(
+            check, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    ]
+    return (pa.concat_tables([p.cast(out_schema) for p in parts])
+            if parts else out_schema.empty_table())
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -1892,13 +1985,16 @@ def queries() -> dict:
         "rank_pct": q_rank_pct,
         "decon_bloom": q_decon_bloom,
         "tfidf_scores": q_tfidf_scores,
+        # media_route: NEW r5 gate for the M3 content-routing closure
+        # (in-cap; the slot came from demoting source_cap, r4-recorded
+        # green with cap_per_group exercised in-cap by dsir_select)
+        "media_route": q_media_route,
         # --- sampling / sketches / index keepers: heavy_hitters was
         # refactored onto exact_top_counts this round and
         # value_quantiles gates the KLL whose merge was canonicalized
         # (both r5 changes), so they stay recorded; index_dedup /
         # neardup_ingest stay while the index actors carry the r5
         # placement changes ---
-        "source_cap": q_source_cap,
         "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
         "index_dedup": q_index_dedup,
@@ -1934,6 +2030,7 @@ def queries() -> dict:
         # quality_classifier. ---
         "epoch_shuffle": q_epoch_shuffle,
         "doc_fingerprint": q_doc_fingerprint,
+        "source_cap": q_source_cap,
         "budget_select": q_budget_select,
         "lm_familiarity": q_lm_familiarity,
         "ccnet_buckets": q_ccnet_buckets,
@@ -2809,6 +2906,14 @@ def _base_oracles() -> dict:
             WHERE FALSE
         """,
         "extract_multi": """
+            SELECT CAST(NULL AS VARCHAR) AS doc_id,
+                   CAST(NULL AS VARCHAR) AS reason
+            WHERE FALSE
+        """,
+        # media_route is defined by ZERO engine-vs-oracle routing
+        # disagreements (the independent loop reimplementation runs
+        # inside the query), so the oracle is the empty table
+        "media_route": """
             SELECT CAST(NULL AS VARCHAR) AS doc_id,
                    CAST(NULL AS VARCHAR) AS reason
             WHERE FALSE

@@ -105,6 +105,11 @@ def main(argv=None) -> int:
                          "(stages/engines.py)")
     ap.add_argument("--ocr-batch-size", type=int, default=512)
     ap.add_argument("--ocr-concurrency", type=int, default=8)
+    ap.add_argument("--csv", action="store_true",
+                    help="also write reference-format summary CSVs "
+                         "(file,engine,chars,pages,type) under "
+                         "<output>/summary/ — the --csv flag of "
+                         "ocr_router.py, one part per partition")
     ap.add_argument("--wave", type=int, default=4,
                     help="extract job: partitions executed concurrently "
                          "(prep/curate schedule one Ray task per "
@@ -253,6 +258,7 @@ def main(argv=None) -> int:
             ocr_concurrency=(1, args.ocr_concurrency),
             wave=args.wave,
             max_partitions=args.max_partitions,
+            csv_summary=args.csv,
         )
         print(json.dumps(summary))
     finally:

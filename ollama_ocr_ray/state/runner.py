@@ -66,6 +66,7 @@ def _run_partition(
     policy,
     model=None,
     metrics_sink=None,
+    csv_summary: bool = False,
 ) -> dict:
     ds = read_documents_files([input_file])
     if plan == "fused":
@@ -94,6 +95,31 @@ def _run_partition(
             shutil.rmtree(stale)  # uncommitted leftovers from a killed run
     write_extracted(out, tmp_dir)
     os.replace(tmp_dir, part_dir)
+    if csv_summary:
+        # reference-format CSV (K3 compat, ocr_router.py:378-386):
+        # one summary csv per committed partition, projected from the
+        # just-written stats columns (no second pipeline execution);
+        # rerun-idempotent like the data commit itself
+        import csv as _csv
+
+        import pyarrow.dataset as pads
+
+        from ..pipelines.extract import REF_CSV_COLUMNS, \
+            compat_summary_rows
+
+        rows = compat_summary_rows(pads.dataset(part_dir).to_table(
+            columns=["doc_id", "engine", "chars", "n_spans"]
+        )).sort_by("file")
+        csv_dir = os.path.join(manifest.output_dir, "summary")
+        os.makedirs(csv_dir, exist_ok=True)
+        csv_path = os.path.join(csv_dir, f"part-{pid:05d}.csv")
+        with open(csv_path + ".tmp", "w", newline="",
+                  encoding="utf-8") as f:
+            w = _csv.writer(f)
+            w.writerow(REF_CSV_COLUMNS)
+            w.writerows(zip(*(rows.column(c).to_pylist()
+                              for c in REF_CSV_COLUMNS)))
+        os.replace(csv_path + ".tmp", csv_path)
     record = {
         "input_file": os.path.abspath(input_file),
         "input_fingerprint": partition_fingerprint(input_file),
@@ -668,6 +694,7 @@ def run_extract(
     model=None,
     wave: int = 4,
     max_partitions: int | None = None,
+    csv_summary: bool = False,
 ) -> dict:
     """Run (or resume) extraction over all partitions of ``input_path``.
 
@@ -709,6 +736,7 @@ def run_extract(
         policy=policy,
         model=model,
         metrics_sink=metrics_sink,
+        csv_summary=csv_summary,
     )
     done = []
     if pending:

@@ -878,3 +878,57 @@ def test_neardup_antijoin_droplist_path(ray_session, monkeypatch):
     assert got == want
     assert want == {2 * g for g in range(6)} | {100 + i
                                                 for i in range(20)}
+
+
+def test_csv_summary_compat(ray_session, corpus_dir, tmp_path):
+    """Reference-format CSV summary (K3 compat, r5): --csv analog
+    writes one summary part per committed partition with the literal
+    header file,engine,chars,pages,type; rows agree with the stats
+    parquet (pages = span count, type pdf/image by multi-span);
+    resume rewrites idempotently."""
+    import csv
+
+    out = str(tmp_path / "csvout")
+    s = run_extract(corpus_dir, out, wave=2, ocr_concurrency=1,
+                    csv_summary=True)
+    csv_dir = os.path.join(out, "summary")
+    parts = sorted(os.listdir(csv_dir))
+    assert len(parts) == s["partitions_total"]
+    rows = []
+    for p in parts:
+        with open(os.path.join(csv_dir, p), newline="") as f:
+            r = csv.reader(f)
+            header = next(r)
+            assert header == ["file", "engine", "chars", "pages", "type"]
+            rows.extend(r)
+    assert len(rows) == s["docs"]
+    stats_files = [
+        os.path.join(out, d, f)
+        for d in sorted(os.listdir(out)) if d.startswith("part-")
+        for f in sorted(os.listdir(os.path.join(out, d)))
+    ]
+    stats = pads.dataset(stats_files).to_table(
+        columns=["doc_id", "engine", "chars", "n_spans"])
+    by_id = {r["doc_id"]: r for r in stats.to_pylist()}
+    for file, engine, chars, pages, typ in rows:
+        ref = by_id[file]
+        assert engine == ref["engine"]
+        assert int(chars) == ref["chars"]
+        assert int(pages) == ref["n_spans"]
+        assert typ == ("pdf" if ref["n_spans"] > 1 else "image")
+    # single-file library writer over a small extraction
+    import ray.data as rd
+
+    from ollama_ocr_ray.pipelines.extract import (extract_pipeline,
+                                                  write_summary_csv)
+
+    docs = rd.read_parquet(corpus_dir)
+    one = str(tmp_path / "summary.csv")
+    write_summary_csv(
+        extract_pipeline(docs, with_stats=True, ocr_concurrency=(1, 1)),
+        one, single_file=True)
+    with open(one, newline="") as f:
+        r = list(csv.reader(f))
+    assert r[0] == ["file", "engine", "chars", "pages", "type"]
+    assert len(r) - 1 == len(by_id)
+    assert [row[0] for row in r[1:]] == sorted(by_id)  # sorted stable
