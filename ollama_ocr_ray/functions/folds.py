@@ -60,6 +60,12 @@ DRIVER_RESIDUAL_MAX = 100_000
 RESIDUAL_ROWS_PER_TASK = 1_000_000
 # Upper bound on residual partitions (fan-out sanity, not correctness).
 RESIDUAL_MAX_TASKS = 128
+# Upper bound on split (map-side) tasks: at 10^4-10^5 sorted blocks a
+# task per residual block would mean ~10^5 submissions x up to 128
+# returns each and reduce calls flattening ~10^5 arguments — residual
+# blocks are grouped so the exchange is at most SPLIT x PARTITIONS
+# objects regardless of upstream block count.
+RESIDUAL_SPLIT_TASKS = 256
 
 # Back-compat alias (r4 name; the refusal semantics are gone).
 SEGMENT_FOLD_CAP = DRIVER_RESIDUAL_MAX
@@ -82,16 +88,18 @@ def _key_partition_ids(table: pa.Table, key_cols: list[str],
 
 
 @ray.remote
-def _split_residual_block(table: pa.Table, raw_schema: pa.Schema,
-                          key_cols: list[str], nparts: int):
-    """One residual block -> ``nparts`` sub-tables routed by key hash.
-    Empty pass-through blocks (which can carry a zero-column schema)
-    normalize to ``raw_schema`` so the reduce-side concat is uniform."""
-    t = table.combine_chunks()
-    if t.num_rows == 0:
+def _split_residual_blocks(raw_schema: pa.Schema, key_cols: list[str],
+                           nparts: int, *tables):
+    """A GROUP of residual blocks -> ``nparts`` sub-tables routed by
+    key hash.  Empty pass-through blocks (which can carry a
+    zero-column schema) are dropped before the concat so the
+    reduce-side schemas stay uniform."""
+    tabs = [t.combine_chunks().cast(raw_schema)
+            for t in tables if t.num_rows > 0]
+    if not tabs:
         outs = [raw_schema.empty_table()] * nparts
     else:
-        t = t.cast(raw_schema)
+        t = pa.concat_tables(tabs).combine_chunks()
         part = _key_partition_ids(t, key_cols, nparts)
         outs = [t.filter(pa.array(part == p)) for p in range(nparts)]
     return tuple(outs) if nparts > 1 else outs[0]
@@ -125,11 +133,19 @@ def _fold_residual_distributed(res_mat, *, n_rows: int,
     nparts = int(min(RESIDUAL_MAX_TASKS,
                      max(1, -(-n_rows // rows_per_task))))
     block_refs = res_mat.to_arrow_refs()
+    # group residual blocks so the map side is at most
+    # RESIDUAL_SPLIT_TASKS submissions and each reduce call takes at
+    # most that many arguments, independent of upstream block count
+    n_groups = min(len(block_refs), RESIDUAL_SPLIT_TASKS)
+    per_group = -(-len(block_refs) // n_groups)
     per_part: list[list] = [[] for _ in range(nparts)]
-    for ref in block_refs:
-        outs = _split_residual_block.options(
+    for g in range(n_groups):
+        group = block_refs[g * per_group:(g + 1) * per_group]
+        if not group:
+            continue
+        outs = _split_residual_blocks.options(
             num_returns=nparts
-        ).remote(ref, raw_schema, key_cols, nparts)
+        ).remote(raw_schema, key_cols, nparts, *group)
         if nparts == 1:
             outs = [outs]
         for p, r in enumerate(outs):

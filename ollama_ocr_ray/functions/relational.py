@@ -1422,6 +1422,13 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
 
     hot: set = set()
     nsalt = max(1, int(salt_hot))
+    if nsalt > 127:
+        # __s is int8; a wrapped salt would silently DUPLICATE hot
+        # join rows (right replicas colliding onto reused buckets)
+        raise ValueError(
+            f"hash_join: salt_hot={salt_hot} exceeds 127; more salts "
+            "than that buys nothing over the distributed residual"
+        )
     if nsalt > 1:
         hot = probe_hot_keys(left.select_columns([key]), key,
                              min_rows=hot_min_rows)

@@ -21,6 +21,8 @@ under the span-equality contract):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -495,6 +497,30 @@ def compat_summary_rows(stats: pa.Table) -> pa.Table:
     )
 
 
+@contextmanager
+def _ref_csv_writer(path: str):
+    """Atomic reference-format CSV file: header row, tmp-file write,
+    rename on success — the ONE emission convention shared by the
+    single-file writer below and the runner's per-partition parts."""
+    import csv
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(REF_CSV_COLUMNS)
+        yield w
+    os.replace(tmp, path)
+
+
+def write_csv_table(rows: pa.Table, path: str) -> None:
+    """One ``compat_summary_rows`` table → one reference-format CSV
+    (atomic).  The bounded-size path (a partition's summary)."""
+    with _ref_csv_writer(path) as w:
+        w.writerows(zip(*(rows.column(c).to_pylist()
+                          for c in REF_CSV_COLUMNS)))
+
+
 def write_summary_csv(extracted_with_stats, path: str, *,
                       single_file: bool = False) -> None:
     """Reference-format CSV summary writer (K3 compat,
@@ -509,18 +535,11 @@ def write_summary_csv(extracted_with_stats, path: str, *,
     if not single_file:
         ds.write_csv(path)
         return
-    import csv
-    import os
-
-    tmp = path + ".tmp"
-    with open(tmp, "w", newline="", encoding="utf-8") as f:
-        w = csv.writer(f)
-        w.writerow(REF_CSV_COLUMNS)
+    with _ref_csv_writer(path) as w:
         for b in ds.sort("file").iter_batches(batch_size=4096,
                                               batch_format="pyarrow"):
-            cols = [b.column(c).to_pylist() for c in REF_CSV_COLUMNS]
-            w.writerows(zip(*cols))
-    os.replace(tmp, path)
+            w.writerows(zip(*(b.column(c).to_pylist()
+                              for c in REF_CSV_COLUMNS)))
 
 
 def render_compat_text(spans: list[dict]) -> str:

@@ -140,12 +140,22 @@ def route_media_batch(batch: pa.Table, *, media_store=None, decode=None,
     route[m & ~p & h] = ROUTE_HANDWRITING
     rest = np.nonzero(m & ~p & ~h)[0]
     if len(rest):
-        ref_list = refs.to_pylist()
-        for i in rest:
-            payload = (media_store.get(ref_list[i])
+        # O(|rest|), not O(batch): only the keyword-miss media refs
+        # materialize as Python strings
+        rest_refs = refs.take(pa.array(rest)).to_pylist()
+        for i, ref in zip(rest, rest_refs):
+            payload = (media_store.get(ref)
                        if media_store is not None else None)
             if payload is not None and decode is not None:
-                route[i] = route_payload(np.asarray(decode(payload)),
+                try:
+                    arr = np.asarray(decode(payload))
+                except Exception:
+                    # unreadable payload -> the reference's safe
+                    # default (ocr_router.py:168), same rule as
+                    # RouterModel.route_one
+                    route[i] = ROUTE_HANDWRITING
+                    continue
+                route[i] = route_payload(arr,
                                          line_threshold=line_threshold)
             else:
                 route[i] = ROUTE_HANDWRITING

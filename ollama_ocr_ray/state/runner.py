@@ -53,6 +53,31 @@ def _partition_metrics(part_dir: str) -> dict:
     }
 
 
+def _partition_csv_path(output_dir: str, pid: int) -> str:
+    return os.path.join(output_dir, "summary", f"part-{pid:05d}.csv")
+
+
+def _ensure_partition_csv(manifest, pid: int) -> None:
+    """Write the reference-format summary csv for one COMMITTED
+    partition if missing — projected from the written stats columns
+    (no pipeline re-execution), atomic and idempotent.  Recommits
+    unlink the old part first (see _run_partition), so 'missing'
+    always means 'needs (re)generation'."""
+    import pyarrow.dataset as pads
+
+    from ..pipelines.extract import compat_summary_rows, write_csv_table
+
+    csv_path = _partition_csv_path(manifest.output_dir, pid)
+    if os.path.exists(csv_path):
+        return
+    os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+    rows = compat_summary_rows(
+        pads.dataset(manifest.part_dir(pid)).to_table(
+            columns=["doc_id", "engine", "chars", "n_spans"])
+    ).sort_by("file")
+    write_csv_table(rows, csv_path)
+
+
 def _run_partition(
     pid: int,
     input_file: str,
@@ -66,7 +91,6 @@ def _run_partition(
     policy,
     model=None,
     metrics_sink=None,
-    csv_summary: bool = False,
 ) -> dict:
     ds = read_documents_files([input_file])
     if plan == "fused":
@@ -95,31 +119,13 @@ def _run_partition(
             shutil.rmtree(stale)  # uncommitted leftovers from a killed run
     write_extracted(out, tmp_dir)
     os.replace(tmp_dir, part_dir)
-    if csv_summary:
-        # reference-format CSV (K3 compat, ocr_router.py:378-386):
-        # one summary csv per committed partition, projected from the
-        # just-written stats columns (no second pipeline execution);
-        # rerun-idempotent like the data commit itself
-        import csv as _csv
-
-        import pyarrow.dataset as pads
-
-        from ..pipelines.extract import REF_CSV_COLUMNS, \
-            compat_summary_rows
-
-        rows = compat_summary_rows(pads.dataset(part_dir).to_table(
-            columns=["doc_id", "engine", "chars", "n_spans"]
-        )).sort_by("file")
-        csv_dir = os.path.join(manifest.output_dir, "summary")
-        os.makedirs(csv_dir, exist_ok=True)
-        csv_path = os.path.join(csv_dir, f"part-{pid:05d}.csv")
-        with open(csv_path + ".tmp", "w", newline="",
-                  encoding="utf-8") as f:
-            w = _csv.writer(f)
-            w.writerow(REF_CSV_COLUMNS)
-            w.writerows(zip(*(rows.column(c).to_pylist()
-                              for c in REF_CSV_COLUMNS)))
-        os.replace(csv_path + ".tmp", csv_path)
+    # a recommitted partition invalidates any previous summary csv;
+    # drop it so a non-csv run never leaves a stale part claiming to
+    # summarize the new data (the csv_summary path rewrites it below
+    # via _ensure_partition_csv in run_extract)
+    stale_csv = _partition_csv_path(manifest.output_dir, pid)
+    if os.path.exists(stale_csv):
+        os.remove(stale_csv)
     record = {
         "input_file": os.path.abspath(input_file),
         "input_fingerprint": partition_fingerprint(input_file),
@@ -736,7 +742,6 @@ def run_extract(
         policy=policy,
         model=model,
         metrics_sink=metrics_sink,
-        csv_summary=csv_summary,
     )
     done = []
     if pending:
@@ -746,6 +751,14 @@ def run_extract(
                 for pid, f in pending
             ]
             done = [f.result() for f in futs]
+    if csv_summary:
+        # reference-format CSVs (K3 compat, ocr_router.py:378-386):
+        # AFTER the partition loop so a resumed run also fills parts
+        # for partitions committed by an earlier non-csv run — the
+        # summary dir always covers exactly the committed partitions
+        for pid, f in enumerate(files):
+            if manifest.is_done(pid, partition_fingerprint(f)):
+                _ensure_partition_csv(manifest, pid)
     return {
         "partitions_total": len(files),
         "partitions_skipped": skipped,

@@ -956,6 +956,12 @@ def test_hash_join_hot_key_salted(ray_session):
             [(100 + i, 1, 5) for i in range(50)]
             + [(100 + i, 2, 5) for i in range(50)]), salt
 
+    # int8 salt column: more than 127 salts would wrap and silently
+    # duplicate hot rows — must refuse loudly
+    with pytest.raises(ValueError, match="salt_hot.*127"):
+        relational.hash_join(cold_left, right, key="k", left_cols=["v"],
+                             right_cols=["w"], salt_hot=300)
+
 
 def test_sorted_block_invariant_guard(ray_session):
     import ray.data as rd

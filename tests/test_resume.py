@@ -932,3 +932,13 @@ def test_csv_summary_compat(ray_session, corpus_dir, tmp_path):
     assert r[0] == ["file", "engine", "chars", "pages", "type"]
     assert len(r) - 1 == len(by_id)
     assert [row[0] for row in r[1:]] == sorted(by_id)  # sorted stable
+    # resume coverage: partitions committed by a NON-csv run get their
+    # summary parts on the next csv run (no silent holes)
+    out2 = str(tmp_path / "csvout2")
+    run_extract(corpus_dir, out2, max_partitions=1, wave=2,
+                ocr_concurrency=1)
+    assert not os.path.exists(os.path.join(out2, "summary"))
+    s2 = run_extract(corpus_dir, out2, wave=2, ocr_concurrency=1,
+                     csv_summary=True)
+    parts2 = sorted(os.listdir(os.path.join(out2, "summary")))
+    assert len(parts2) == s2["partitions_total"]

@@ -147,6 +147,15 @@ def test_route_media_batch_vectorized_and_payload_path():
     assert out2.column("route").to_pylist() == [
         "", "printed", "handwriting", "handwriting", "handwriting"]
 
+    # an unreadable payload (decode raises) takes the reference's
+    # handwriting default instead of crashing the stage
+    def broken(b):
+        raise ValueError("corrupt image")
+
+    out3 = route_media_batch(batch, media_store=store, decode=broken)
+    assert out3.column("route").to_pylist() == [
+        "", "printed", "handwriting", "handwriting", "handwriting"]
+
 
 def test_router_model_dispatch_two_engines():
     """Per-span dispatch through the seam: two injected fake engines,
