@@ -465,6 +465,8 @@ class SigShard:
         self._sv = np.empty((0, 0), dtype=np.uint8)
         self._ssealed = np.empty(0, dtype=bool)
         self._s_chunks: list = []
+        # probes whose bucket exceeded the hot-bucket cap (diagnostic)
+        self._n_saturated = 0
 
     def offer(self, key, buckets, band_ids, sig_ids, sigs) -> int:
         """One producer batch's slice for this shard: band entries
@@ -493,7 +495,14 @@ class SigShard:
             bs = np.concatenate(
                 [self._bsealed,
                  np.zeros(len(bk) - len(self._bsealed), dtype=bool)])
-            order = np.argsort(bk, kind="stable")
+            # within-bucket order (bucket, sealed-first, id ASC) makes
+            # the hot-bucket candidate cap DETERMINISTIC by corpus
+            # content: sealed history outranks open entries, then the
+            # smallest ids — exactly the entries the sealed-or-min-id
+            # keep rule can lose to — independent of offer arrival
+            # order (r5; plain stable-sort kept insertion order, which
+            # is run-dependent)
+            order = np.lexsort((bi, ~bs, bk))
             self._bk, self._bi, self._bsealed = (
                 bk[order], bi[order], bs[order])
             self._b_chunks = []
@@ -511,23 +520,39 @@ class SigShard:
                 sk[order], sv[order], ss[order])
             self._s_chunks = []
 
-    def candidates(self, probes):
-        """(counts, ids, sealed) for the probed buckets: ``counts[i]``
-        entries of probe i, concatenated in probe order — the caller
-        splits by counts.  One searchsorted pair over the sorted
-        bucket column; no per-entry Python."""
+    def candidates(self, probes, cap: int = 0):
+        """(counts, ids, sealed, true_counts) for the probed buckets:
+        ``counts[i]`` entries of probe i, concatenated in probe order —
+        the caller splits by counts.  One searchsorted pair over the
+        sorted bucket column; no per-entry Python.
+
+        ``cap`` > 0 bounds the entries returned PER BUCKET (the
+        hot-bucket guard, r5): a boilerplate-template bucket holding a
+        large fraction of the corpus would otherwise make every probe
+        verify against the whole bucket — quadratic, measured as a
+        wedged 1M-doc ingest on a single-template corpus.  The capped
+        prefix is deterministic (sealed entries, then smallest ids —
+        the ``_compact`` order), i.e. exactly the entries the
+        sealed-or-min-id keep rule can lose to; ``true_counts`` lets
+        the caller count saturated buckets and surface the recall
+        caveat instead of hiding it."""
         self._compact()
         probes = np.asarray(probes, dtype=np.int64)
         lo = np.searchsorted(self._bk, probes, side="left")
         hi = np.searchsorted(self._bk, probes, side="right")
-        counts = hi - lo
+        true_counts = hi - lo
+        if cap > 0:
+            self._n_saturated += int((true_counts > cap).sum())
+        counts = (true_counts if cap <= 0
+                  else np.minimum(true_counts, cap))
         total = int(counts.sum())
         if total == 0:
-            return counts, np.empty(0, dtype="U1"), np.empty(0, bool)
+            return (counts, np.empty(0, dtype="U1"),
+                    np.empty(0, bool), true_counts)
         starts = np.cumsum(counts) - counts
         idx = np.repeat(lo, counts) + (np.arange(total)
                                        - np.repeat(starts, counts))
-        return counts, self._bi[idx], self._bsealed[idx]
+        return counts, self._bi[idx], self._bsealed[idx], true_counts
 
     def get_sigs(self, ids):
         """(found, sigs): boolean mask over ``ids`` plus the signature
@@ -545,6 +570,9 @@ class SigShard:
     def condemn(self, ids) -> None:
         if len(ids):
             self._condemned.append(np.asarray(ids))
+
+    def saturation_count(self) -> int:
+        return self._n_saturated
 
     def seal(self) -> int:
         self._compact()
@@ -735,7 +763,8 @@ _DROPLIST_DRIVER_MAX = 2_000_000  # dropped ids fetched to the driver
 
 
 def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
-                   keep_cols=("doc_id",), stats: dict | None = None):
+                   keep_cols=("doc_id",), stats: dict | None = None,
+                   hot_bucket_cap: int = 4096):
     """Incremental NEAR-dup filter: a document drops when any
     LSH-candidate's estimated Jaccard is >= ``threshold`` AND the
     candidate is history (sealed) or an epoch-mate with a smaller id —
@@ -844,15 +873,20 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
         for s in np.unique(shard_of):
             pos = np.nonzero(shard_of == s)[0]
             group_pos.append(pos)
-            refs.append(shards[int(s)].candidates.remote(uniq[pos]))
+            refs.append(shards[int(s)].candidates.remote(
+                uniq[pos], hot_bucket_cap))
         # every probed bucket holds the probing doc's OWN entry (its
         # offer landed before the barrier), so a bucket carries a
         # foreign candidate iff its entry count is >= 2 — materialize
-        # entry lists only for those (O(dups), not O(docs x bands))
+        # entry lists only for those (O(dups), not O(docs x bands)).
+        # hot_bucket_cap bounds each bucket's entry list (sealed +
+        # smallest ids, deterministic) so a boilerplate-template
+        # bucket cannot make verification quadratic; saturation is
+        # counted shard-side and surfaced in stats.
         bucket_entries: dict = {}
         counts_full = np.empty(len(uniq), dtype=np.int64)
-        for pos, (counts, c_ids, c_sealed) in zip(group_pos,
-                                                  ray.get(refs)):
+        for pos, (counts, c_ids, c_sealed, _tc) in zip(group_pos,
+                                                       ray.get(refs)):
             counts_full[pos] = counts
             multi = np.nonzero(counts >= 2)[0]
             if len(multi):
@@ -939,6 +973,12 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
     n_dropped = dropped_ds.count()
     if stats is not None:
         stats["t_decide_s"] = round(_time.perf_counter() - _t1, 2)
+        # probes whose bucket was larger than hot_bucket_cap: nonzero
+        # means template-heavy data where near-dup recall inside those
+        # buckets is bounded by the sealed+min-id prefix — the
+        # operator's cue to raise the cap or pre-strip boilerplate
+        stats["n_saturated_bucket_probes"] = sum(ray.get(
+            [s.saturation_count.remote() for s in shards]))
     cols = list(keep_cols)
 
     if n_dropped == 0:

@@ -885,7 +885,8 @@ def run_ingest(input_path: str, output_dir: str, *,
         "index_entries": int(n_entries),
         "index_dir": index_dir,
     }
-    for k in ("t_offer_s", "t_decide_s"):  # near-mode phase timings
+    # near-mode phase timings + the hot-bucket saturation diagnostic
+    for k in ("t_offer_s", "t_decide_s", "n_saturated_bucket_probes"):
         if k in stats:
             summary[k] = stats[k]
     tmp_key = done_key + ".tmp"

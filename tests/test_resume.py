@@ -628,6 +628,55 @@ def test_neardup_index_within_epoch(ray_session):
                                                  for i in range(30)}
 
 
+def test_neardup_hot_bucket_cap(ray_session):
+    """r5 hot-bucket guard: a single-template corpus puts every doc in
+    the same LSH mega-buckets (an unbounded candidate verify went
+    quadratic at 1M docs — measured).  With a small cap the ingest
+    must still be exact on template-IDENTICAL docs (the capped prefix
+    is the min-id entries, which ARE their near-dups): one winner per
+    identical group, distinct docs kept, saturation surfaced."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ollama_ocr_ray.state.dedup_index import (
+        NearDupIndex,
+        ingest_neardup,
+    )
+
+    # 60 identical template docs (ids 0..59) + 20 distinct docs
+    template = "nav header menu footer copyright about contact terms"
+    rng = np.random.RandomState(29)
+    texts = [template] * 60 + [_word_doc(rng) for _ in range(20)]
+    ids = list(range(60)) + list(range(1000, 1020))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    index = NearDupIndex(n_shards=3)
+    stats: dict = {}
+    kept = {
+        r["doc_id"]
+        for r in ingest_neardup(
+            rd.from_arrow(t).repartition(7), index, threshold=0.7,
+            stats=stats, hot_bucket_cap=4,
+        ).take_all()
+    }
+    assert kept == {0} | set(range(1000, 1020))
+    assert stats["n_saturated_bucket_probes"] > 0
+    # and with the default generous cap: identical answer, no
+    # saturation on this small corpus... (cap 4096 > 60 entries)
+    index2 = NearDupIndex(n_shards=3)
+    stats2: dict = {}
+    kept2 = {
+        r["doc_id"]
+        for r in ingest_neardup(
+            rd.from_arrow(t).repartition(3), index2, threshold=0.7,
+            stats=stats2,
+        ).take_all()
+    }
+    assert kept2 == kept
+    assert stats2["n_saturated_bucket_probes"] == 0
+
+
 def test_neardup_index_cross_epoch_save_load(ray_session, tmp_path):
     """Epoch 0 sealed + saved; epoch 1's mutated copies of history
     drop, fresh docs survive — through a snapshot round-trip."""
