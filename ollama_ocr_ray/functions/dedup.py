@@ -391,6 +391,7 @@ def _simhash_pairs_block(batch: pa.Table, max_hamming: int) -> pa.Table:
     for s, e in zip(starts, ends):
         if e - s < 2:
             continue
+        _check_bucket_size(e - s, "simhash_dup_pairs")
         ids = ids_all[s:e]
         sh = sh_all[s:e]
         # XOR/popcount only on the upper-triangle pair INDICES — a
@@ -612,6 +613,28 @@ def ngram_band_rows(docs, *, k: int = 9, num_perm: int = 64, bands: int = 16,
                           bands=bands, concurrency=concurrency)
 
 
+# Loud bound on exact all-pairs generation per LSH bucket (r5): a
+# boilerplate-template bucket holding B docs yields B(B-1)/2 candidate
+# pairs — at B ~ corpus scale that is quadratic work the EXACT
+# contract cannot cap silently.  8192 docs => <= ~33M pairs per
+# bucket, the most the verify exchange should ever absorb; beyond it
+# the batch plan refuses with the remedies (the incremental
+# NearDupIndex bounds the same hazard with hot_bucket_cap instead,
+# because its keep-rule tolerates a deterministic prefix).
+LSH_MAX_BUCKET = 8192
+
+
+def _check_bucket_size(n: int, op: str) -> None:
+    if n > LSH_MAX_BUCKET:
+        raise RuntimeError(
+            f"{op}: an LSH bucket holds {n} docs "
+            f"(> LSH_MAX_BUCKET={LSH_MAX_BUCKET}); exact all-pairs on "
+            "it is quadratic — run exact dedup first, pre-strip the "
+            "boilerplate template, or use state.dedup_index."
+            "NearDupIndex (hot_bucket_cap) for the bounded-recall path"
+        )
+
+
 def _bucket_candidate_pairs(batch: pa.Table) -> pa.Table:
     """Candidate (a_id, b_id) pairs from every bucket of one sorted
     block (vectorized; singleton buckets skipped wholesale)."""
@@ -624,6 +647,7 @@ def _bucket_candidate_pairs(batch: pa.Table) -> pa.Table:
     for s, e in zip(starts, ends):
         if e - s < 2:
             continue
+        _check_bucket_size(e - s, "lsh_bucket_pairs")
         ids = ids_all[s:e]
         iu, ju = np.triu_indices(len(ids), k=1)
         mask = ids[iu] != ids[ju]

@@ -281,3 +281,24 @@ def test_queries_match_oracle_sf0001(ray_session, name):
 
     pd.testing.assert_frame_equal(canon(got), canon(exp), check_dtype=False,
                                   check_exact=True)
+
+
+def test_lsh_mega_bucket_refuses(ray_session):
+    """r5 guard: a boilerplate-template bucket above LSH_MAX_BUCKET
+    must refuse loudly (exact all-pairs would be quadratic) instead of
+    materializing B^2/2 candidate pairs; the error names the remedies
+    (exact dedup first / the incremental index's bounded-recall cap)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import dedup
+
+    n = dedup.LSH_MAX_BUCKET + 8
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["the same short boilerplate template"] * n),
+    })
+    with pytest.raises(Exception, match="LSH_MAX_BUCKET"):
+        dedup.minhash_dup_pairs(rd.from_arrow(t),
+                                threshold=0.8).take_all()
