@@ -80,6 +80,12 @@ def main(argv=None) -> int:
                          "LSH near-dup at --threshold (text corpora "
                          "directly; interleaved corpora through the "
                          "canonical span rendering)")
+    ap.add_argument("--hot-bucket-cap", type=int, default=4096,
+                    help="near ingest: max candidate entries verified "
+                         "per LSH bucket (sealed-first, smallest-id "
+                         "prefix); bounds the boilerplate-template "
+                         "blowup — saturation is reported as "
+                         "n_saturated_bucket_probes")
     ap.add_argument("--threshold", type=float, default=0.7,
                     help="ingest job: estimated-Jaccard near-dup "
                          "threshold for --dedup near")
@@ -157,6 +163,7 @@ def main(argv=None) -> int:
                 n_shards=args.index_shards,
                 mode=args.dedup,
                 threshold=args.threshold,
+                hot_bucket_cap=args.hot_bucket_cap,
             )
             print(json.dumps(summary))
             return 0

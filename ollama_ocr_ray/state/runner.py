@@ -773,7 +773,8 @@ def run_extract(
 
 def run_ingest(input_path: str, output_dir: str, *,
                index_path: str | None = None, n_shards: int = 8,
-               mode: str = "exact", threshold: float = 0.7) -> dict:
+               mode: str = "exact", threshold: float = 0.7,
+               hot_bucket_cap: int = 4096) -> dict:
     """Resumable incremental-ingest job: dedup ``input_path`` against
     (and into) a persistent index (``state/dedup_index.py``), write the
     surviving rows, and snapshot the grown index for the NEXT epoch —
@@ -843,7 +844,8 @@ def run_ingest(input_path: str, output_dir: str, *,
         index = (NearDupIndex.load(index_path) if index_path
                  else NearDupIndex(n_shards=n_shards))
         kept = ingest_neardup(docs, index, threshold=threshold,
-                              keep_cols=keep_cols, stats=stats)
+                              keep_cols=keep_cols, stats=stats,
+                              hot_bucket_cap=hot_bucket_cap)
     else:
         index = (DedupIndex.load(index_path) if index_path
                  else DedupIndex(n_shards=n_shards))
