@@ -455,3 +455,88 @@ def test_neardup_ingest_partitioning_invariant(ray_session, seed, n_parts):
         }
 
     assert run(n_parts) == run(1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000), st.integers(2, 9), st.integers(1, 12))
+def test_segment_fold_distributed_equals_pandas(ray_session, seed,
+                                                n_blocks, key_range):
+    """r5 distributed residual: for ANY random (keys, blocks) layout,
+    exact_segment_fold with the distributed path FORCED (driver_max=0,
+    multi-task fan-out) equals a pandas groupby — per-key sums and a
+    single fold per key."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions.dedup import _segment_bounds
+    from ollama_ocr_ray.functions.folds import exact_segment_fold
+
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(1, 200))
+    keys = np.sort(rng.randint(0, key_range, size=n)).astype(np.int64)
+    vals = rng.randint(-1000, 1000, size=n).astype(np.int64)
+    raw = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    out = pa.schema([("k", pa.int64()), ("total", pa.int64()),
+                     ("folds", pa.int64())])
+
+    def fold(t):
+        if t.num_rows == 0:
+            return out.empty_table()
+        t = t.combine_chunks()
+        starts, ends = _segment_bounds(t.column("k"))
+        ks = t.column("k").to_numpy(zero_copy_only=False)
+        vs = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"k": pa.array(ks[starts], type=pa.int64()),
+             "total": pa.array(np.add.reduceat(vs, starts),
+                               type=pa.int64()),
+             "folds": pa.array(np.ones(len(starts), dtype=np.int64))}
+        ).cast(out)
+
+    # sorted layout split into n_blocks contiguous single-block
+    # datasets (sortedness preserved, splits land anywhere)
+    cuts = np.sort(rng.randint(0, n + 1, size=n_blocks - 1))
+    bounds = [0, *cuts.tolist(), n]
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = None
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        piece = rd.from_arrow(t.slice(lo, hi - lo))
+        ds = piece if ds is None else ds.union(piece)
+    got = {r["k"]: (r["total"], r["folds"])
+           for r in exact_segment_fold(
+               ds, key_cols=["k"], fold=fold, raw_schema=raw,
+               out_schema=out, driver_max=0, rows_per_task=7,
+               op="prop").take_all()}
+    import pandas as pd
+
+    exp = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].sum()
+    assert got == {int(k): (int(v), 1) for k, v in exp.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 10_000), st.integers(2, 8))
+def test_hash_join_salted_equals_unsalted(ray_session, seed, nsalt):
+    """Salting is a pure physical-plan choice: for ANY random pair of
+    tables the salted join's output MULTISET equals the unsalted
+    one (hot_min_rows tiny so salting actually engages)."""
+    import ray.data as rd
+
+    from ollama_ocr_ray.functions import relational
+
+    rng = np.random.RandomState(seed)
+    nl, nr = int(rng.randint(1, 120)), int(rng.randint(1, 40))
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 8, size=nl).astype(np.int64)),
+        "v": pa.array(np.arange(nl, dtype=np.int64))})
+    right = pa.table({
+        "k": pa.array(rng.randint(0, 8, size=nr).astype(np.int64)),
+        "w": pa.array(np.arange(nr, dtype=np.int64) * 10)})
+
+    def rows(salt):
+        out = relational.hash_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            key="k", left_cols=["v"], right_cols=["w"],
+            salt_hot=salt, hot_min_rows=4)
+        return sorted((r["k"], r["v"], r["w"]) for r in out.take_all())
+
+    assert rows(nsalt) == rows(0)
