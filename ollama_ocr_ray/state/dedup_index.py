@@ -797,6 +797,14 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
     The candidate-verify loop is per document over its (few) bucket
     hits, with the signature comparison itself vectorized across all
     of a document's candidates."""
+    if 0 < hot_bucket_cap < 2:
+        # the decide pass prefilters on capped bucket counts >= 2 (own
+        # entry + at least one foreign); a cap of 1 would silently
+        # disable dedup entirely
+        raise ValueError(
+            "ingest_neardup: hot_bucket_cap must be >= 2 (or <= 0 to "
+            "disable the cap)"
+        )
     import pyarrow.compute as pc
 
     from ..functions.dedup import band_buckets

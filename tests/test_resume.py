@@ -675,6 +675,10 @@ def test_neardup_hot_bucket_cap(ray_session):
     }
     assert kept2 == kept
     assert stats2["n_saturated_bucket_probes"] == 0
+    # cap of 1 would defeat the count>=2 candidate prefilter entirely
+    with pytest.raises(ValueError, match="hot_bucket_cap"):
+        ingest_neardup(rd.from_arrow(t), NearDupIndex(n_shards=2),
+                       hot_bucket_cap=1)
 
 
 def test_neardup_index_cross_epoch_save_load(ray_session, tmp_path):
