@@ -465,8 +465,10 @@ class SigShard:
         self._sv = np.empty((0, 0), dtype=np.uint8)
         self._ssealed = np.empty(0, dtype=bool)
         self._s_chunks: list = []
-        # probes whose bucket exceeded the hot-bucket cap (diagnostic)
+        # probes whose bucket exceeded the hot-bucket cap (per-ingest
+        # diagnostic; read-and-reset) + cached per-bucket cap prefixes
         self._n_saturated = 0
+        self._hot_prefix: dict = {}
 
     def offer(self, key, buckets, band_ids, sig_ids, sigs) -> int:
         """One producer batch's slice for this shard: band entries
@@ -495,17 +497,12 @@ class SigShard:
             bs = np.concatenate(
                 [self._bsealed,
                  np.zeros(len(bk) - len(self._bsealed), dtype=bool)])
-            # within-bucket order (bucket, sealed-first, id ASC) makes
-            # the hot-bucket candidate cap DETERMINISTIC by corpus
-            # content: sealed history outranks open entries, then the
-            # smallest ids — exactly the entries the sealed-or-min-id
-            # keep rule can lose to — independent of offer arrival
-            # order (r5; plain stable-sort kept insertion order, which
-            # is run-dependent)
-            order = np.lexsort((bi, ~bs, bk))
+            order = np.argsort(bk, kind="stable")
             self._bk, self._bi, self._bsealed = (
                 bk[order], bi[order], bs[order])
             self._b_chunks = []
+            # bucket contents changed: hot-prefix selections recompute
+            self._hot_prefix = {}
         if self._s_chunks:
             sk = np.concatenate([self._sk]
                                 + [c[0] for c in self._s_chunks])
@@ -520,39 +517,79 @@ class SigShard:
                 sk[order], sv[order], ss[order])
             self._s_chunks = []
 
+    def _hot_prefix_idx(self, bucket: int, lo: int, hi: int,
+                        cap: int) -> np.ndarray:
+        """Absolute indices of the (sealed-first, then _id_lt-smallest)
+        ``cap``-prefix of one oversized bucket — exactly the entries
+        the sealed-or-min-id keep rule can lose to.  Selection decodes
+        the encoded ids, because THEIR lexicographic order is not the
+        id order ('i:9' > 'i:100' — encoded form supports equality
+        only); heapq.nsmallest keeps it O(B log cap), computed once
+        per (bucket, epoch) and cached (invalidated on compaction)."""
+        import heapq
+
+        cached = self._hot_prefix.get(bucket)
+        if cached is not None:
+            return cached
+        ids = self._bi[lo:hi]
+        sealed = self._bsealed[lo:hi]
+
+        def key(j: int):
+            e = ids[j]
+            if e.startswith("i:"):
+                return (not sealed[j], 0, int(e[2:]), "")
+            return (not sealed[j], 1, 0, e[2:])
+
+        pick = heapq.nsmallest(cap, range(hi - lo), key=key)
+        out = np.asarray(pick, dtype=np.int64) + lo
+        self._hot_prefix[bucket] = out
+        return out
+
     def candidates(self, probes, cap: int = 0):
-        """(counts, ids, sealed, true_counts) for the probed buckets:
-        ``counts[i]`` entries of probe i, concatenated in probe order —
-        the caller splits by counts.  One searchsorted pair over the
-        sorted bucket column; no per-entry Python.
+        """(counts, ids, sealed) for the probed buckets: ``counts[i]``
+        entries of probe i, concatenated in probe order — the caller
+        splits by counts.  One searchsorted pair over the sorted
+        bucket column; no per-entry Python on the common path.
 
         ``cap`` > 0 bounds the entries returned PER BUCKET (the
         hot-bucket guard, r5): a boilerplate-template bucket holding a
         large fraction of the corpus would otherwise make every probe
         verify against the whole bucket — quadratic, measured as a
-        wedged 1M-doc ingest on a single-template corpus.  The capped
-        prefix is deterministic (sealed entries, then smallest ids —
-        the ``_compact`` order), i.e. exactly the entries the
-        sealed-or-min-id keep rule can lose to; ``true_counts`` lets
-        the caller count saturated buckets and surface the recall
-        caveat instead of hiding it."""
+        wedged 1M-doc ingest on a single-template corpus.  Saturated
+        buckets return the ``_hot_prefix_idx`` selection (sealed
+        first, then the _id_lt-smallest ids — deterministic by corpus
+        content, not arrival order); saturation is counted per ingest
+        (``saturation_count``) so the recall caveat surfaces instead
+        of hiding."""
         self._compact()
         probes = np.asarray(probes, dtype=np.int64)
         lo = np.searchsorted(self._bk, probes, side="left")
         hi = np.searchsorted(self._bk, probes, side="right")
         true_counts = hi - lo
-        if cap > 0:
-            self._n_saturated += int((true_counts > cap).sum())
-        counts = (true_counts if cap <= 0
-                  else np.minimum(true_counts, cap))
-        total = int(counts.sum())
-        if total == 0:
-            return (counts, np.empty(0, dtype="U1"),
-                    np.empty(0, bool), true_counts)
-        starts = np.cumsum(counts) - counts
-        idx = np.repeat(lo, counts) + (np.arange(total)
-                                       - np.repeat(starts, counts))
-        return counts, self._bi[idx], self._bsealed[idx], true_counts
+        sat = (np.nonzero(true_counts > cap)[0] if cap > 0
+               else np.empty(0, dtype=np.int64))
+        if len(sat) == 0:
+            counts = true_counts
+            total = int(counts.sum())
+            if total == 0:
+                return counts, np.empty(0, dtype="U1"), np.empty(0, bool)
+            starts = np.cumsum(counts) - counts
+            idx = np.repeat(lo, counts) + (np.arange(total)
+                                           - np.repeat(starts, counts))
+            return counts, self._bi[idx], self._bsealed[idx]
+        self._n_saturated += len(sat)
+        counts = np.minimum(true_counts, cap)
+        pieces = []
+        for k in range(len(probes)):
+            if true_counts[k] == 0:
+                continue
+            if true_counts[k] > cap:
+                pieces.append(self._hot_prefix_idx(
+                    int(probes[k]), int(lo[k]), int(hi[k]), cap))
+            else:
+                pieces.append(np.arange(lo[k], hi[k], dtype=np.int64))
+        idx = np.concatenate(pieces)
+        return counts, self._bi[idx], self._bsealed[idx]
 
     def get_sigs(self, ids):
         """(found, sigs): boolean mask over ``ids`` plus the signature
@@ -571,8 +608,15 @@ class SigShard:
         if len(ids):
             self._condemned.append(np.asarray(ids))
 
-    def saturation_count(self) -> int:
-        return self._n_saturated
+    def saturation_count(self, reset: bool = False) -> int:
+        """Per-ingest diagnostic (the ingest reads with ``reset`` so a
+        later epoch starts from zero).  Approximate under Ray task
+        retries — a retried decide batch re-probes and re-counts —
+        which is fine for a diagnostic, never a correctness value."""
+        n = self._n_saturated
+        if reset:
+            self._n_saturated = 0
+        return n
 
     def seal(self) -> int:
         self._compact()
@@ -588,6 +632,7 @@ class SigShard:
         self._ssealed = np.ones(len(self._sk), dtype=bool)
         self._seen_keys = set()
         self._condemned = []
+        self._hot_prefix = {}  # entries pruned/resealed: recompute
         return int(len(self._bk))
 
     def dump_sealed(self, bands_path: str, sigs_path: str) -> int:
@@ -630,6 +675,7 @@ class SigShard:
         self._bi = np.asarray(t.column("doc_id").to_pylist(), dtype="U")\
             if t.num_rows else np.empty(0, dtype="U1")
         self._bsealed = np.ones(t.num_rows, dtype=bool)
+        self._hot_prefix = {}
         ts = pq.read_table(sigs_path)
         if ts.num_rows:
             self._sk = np.asarray(ts.column("doc_id").to_pylist(),
@@ -893,8 +939,8 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
         # counted shard-side and surfaced in stats.
         bucket_entries: dict = {}
         counts_full = np.empty(len(uniq), dtype=np.int64)
-        for pos, (counts, c_ids, c_sealed, _tc) in zip(group_pos,
-                                                       ray.get(refs)):
+        for pos, (counts, c_ids, c_sealed) in zip(group_pos,
+                                                  ray.get(refs)):
             counts_full[pos] = counts
             multi = np.nonzero(counts >= 2)[0]
             if len(multi):
@@ -979,14 +1025,17 @@ def ingest_neardup(docs, index: NearDupIndex, *, threshold: float = 0.7,
     dropped_ds = sig_ds.map_batches(
         decide, batch_format="pyarrow").materialize()
     n_dropped = dropped_ds.count()
+    # probes whose bucket was larger than hot_bucket_cap: nonzero
+    # means template-heavy data where near-dup recall inside those
+    # buckets is bounded by the sealed+min-id prefix — the operator's
+    # cue to raise the cap or pre-strip boilerplate.  Read with reset
+    # UNCONDITIONALLY so a later epoch on the same live index starts
+    # its diagnostic from zero.
+    n_sat = sum(ray.get(
+        [s.saturation_count.remote(reset=True) for s in shards]))
     if stats is not None:
         stats["t_decide_s"] = round(_time.perf_counter() - _t1, 2)
-        # probes whose bucket was larger than hot_bucket_cap: nonzero
-        # means template-heavy data where near-dup recall inside those
-        # buckets is bounded by the sealed+min-id prefix — the
-        # operator's cue to raise the cap or pre-strip boilerplate
-        stats["n_saturated_bucket_probes"] = sum(ray.get(
-            [s.saturation_count.remote() for s in shards]))
+        stats["n_saturated_bucket_probes"] = n_sat
     cols = list(keep_cols)
 
     if n_dropped == 0:

@@ -679,6 +679,21 @@ def test_neardup_hot_bucket_cap(ray_session):
     with pytest.raises(ValueError, match="hot_bucket_cap"):
         ingest_neardup(rd.from_arrow(t), NearDupIndex(n_shards=2),
                        hot_bucket_cap=1)
+    # the capped prefix must follow NUMERIC id order, not the encoded
+    # string order ('i:9' > 'i:100' lexicographically): identical docs
+    # with ids {9, 100..104} at cap 4 must still collapse onto 9 —
+    # a lexicographic prefix would keep 100 as a second winner
+    ids3 = [9, 100, 101, 102, 103, 104]
+    t3 = pa.table({"doc_id": pa.array(ids3, type=pa.int64()),
+                   "text": pa.array([template] * len(ids3))})
+    kept3 = {
+        r["doc_id"]
+        for r in ingest_neardup(
+            rd.from_arrow(t3).repartition(3), NearDupIndex(n_shards=2),
+            threshold=0.7, hot_bucket_cap=4,
+        ).take_all()
+    }
+    assert kept3 == {9}
 
 
 def test_neardup_index_cross_epoch_save_load(ray_session, tmp_path):
