@@ -528,7 +528,7 @@ class SigShard:
         per (bucket, epoch) and cached (invalidated on compaction)."""
         import heapq
 
-        cached = self._hot_prefix.get(bucket)
+        cached = self._hot_prefix.get((bucket, cap))
         if cached is not None:
             return cached
         ids = self._bi[lo:hi]
@@ -542,7 +542,7 @@ class SigShard:
 
         pick = heapq.nsmallest(cap, range(hi - lo), key=key)
         out = np.asarray(pick, dtype=np.int64) + lo
-        self._hot_prefix[bucket] = out
+        self._hot_prefix[(bucket, cap)] = out
         return out
 
     def candidates(self, probes, cap: int = 0):
