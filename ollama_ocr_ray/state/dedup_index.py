@@ -524,24 +524,27 @@ class SigShard:
         the sealed-or-min-id keep rule can lose to.  Selection decodes
         the encoded ids, because THEIR lexicographic order is not the
         id order ('i:9' > 'i:100' — encoded form supports equality
-        only); heapq.nsmallest keeps it O(B log cap), computed once
-        per (bucket, epoch) and cached (invalidated on compaction)."""
-        import heapq
-
+        only).  Fully vectorized (np.char decode + one lexsort over
+        (sealed, kind, numeric-or-string) keys — a per-entry Python
+        key over a corpus-sized mega-bucket cost seconds of actor
+        time), computed once per (bucket, cap, epoch) and cached
+        (invalidated whenever the band arrays change)."""
         cached = self._hot_prefix.get((bucket, cap))
         if cached is not None:
             return cached
         ids = self._bi[lo:hi]
         sealed = self._bsealed[lo:hi]
-
-        def key(j: int):
-            e = ids[j]
-            if e.startswith("i:"):
-                return (not sealed[j], 0, int(e[2:]), "")
-            return (not sealed[j], 1, 0, e[2:])
-
-        pick = heapq.nsmallest(cap, range(hi - lo), key=key)
-        out = np.asarray(pick, dtype=np.int64) + lo
+        suffix = np.char.partition(ids, ":")[:, 2]
+        is_str = np.char.startswith(ids, "s:")
+        num = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+        is_int = ~is_str
+        if is_int.any():
+            num[is_int] = suffix[is_int].astype(np.int64)
+        # lexsort: primary = sealed-first, then ints-before-strings
+        # (_id_lt), then numeric value for ints / raw suffix for strs
+        order = np.lexsort((suffix, num, is_str.astype(np.int8),
+                            (~sealed).astype(np.int8)))[:cap]
+        out = np.sort(order).astype(np.int64) + lo
         self._hot_prefix[(bucket, cap)] = out
         return out
 
@@ -579,16 +582,21 @@ class SigShard:
             return counts, self._bi[idx], self._bsealed[idx]
         self._n_saturated += len(sat)
         counts = np.minimum(true_counts, cap)
-        pieces = []
-        for k in range(len(probes)):
-            if true_counts[k] == 0:
-                continue
-            if true_counts[k] > cap:
-                pieces.append(self._hot_prefix_idx(
-                    int(probes[k]), int(lo[k]), int(hi[k]), cap))
-            else:
-                pieces.append(np.arange(lo[k], hi[k], dtype=np.int64))
-        idx = np.concatenate(pieces)
+        # stitch: vectorized repeat-gather for the (many) non-saturated
+        # probes, the cached prefix selection only for the (few)
+        # saturated ones — all placed at their probe-order offsets
+        starts = np.cumsum(counts) - counts
+        idx = np.empty(int(counts.sum()), dtype=np.int64)
+        norm = true_counts <= cap
+        if norm.any():
+            nc = counts[norm]
+            within = (np.arange(int(nc.sum()))
+                      - np.repeat(np.cumsum(nc) - nc, nc))
+            idx[np.repeat(starts[norm], nc) + within] = \
+                np.repeat(lo[norm], nc) + within
+        for k in sat:
+            idx[starts[k]:starts[k] + cap] = self._hot_prefix_idx(
+                int(probes[k]), int(lo[k]), int(hi[k]), cap)
         return counts, self._bi[idx], self._bsealed[idx]
 
     def get_sigs(self, ids):
