@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 import ray.data
 
 
+
 def _cents(col) -> pa.Array:
     """floor(x*100 + 0.5) as int64 — exactly mirrors the SQL oracle."""
     x = col.to_numpy(zero_copy_only=False)
